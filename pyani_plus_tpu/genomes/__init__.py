@@ -1,0 +1,105 @@
+"""Genome ingestion and 2-bit packed representation.
+
+This layer turns FASTA files (possibly gzipped) into content-addressed,
+numerics-ready genome objects:
+
+- identity = MD5 of the decompressed file bytes (ref: utils.py:142-196), so
+  results are cacheable across renames/moves, exactly like the reference;
+- each sequence is encoded as a ``uint8`` code array with A/C/G/T -> 0/1/2/3
+  and anything else (N, IUPAC ambiguity, lowercase masking is folded to
+  uppercase first) -> 4, which downstream kernels treat as a hard mask;
+- genome-level metadata (length, description) mirrors the reference's
+  ``Genome`` ORM row (db_orm.py:103-145).
+
+The packed arrays feed the JAX/Pallas kernels in ``pyani_plus_tpu.ops``.
+"""
+
+from __future__ import annotations
+
+import gzip
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+from pyani_plus_tpu.utils import fasta_bytes_iterator, file_md5sum
+
+# Encoding table: ASCII byte -> 2-bit code, 4 = invalid/masked.
+CODE_A, CODE_C, CODE_G, CODE_T, CODE_N = 0, 1, 2, 3, 4
+_ENCODE = np.full(256, CODE_N, dtype=np.uint8)
+for _i, _c in enumerate(b"ACGT"):
+    _ENCODE[_c] = _i
+    _ENCODE[_c + 32] = _i  # lowercase
+_DECODE = np.frombuffer(b"ACGTN", dtype=np.uint8)
+
+
+def encode_sequence(seq: bytes) -> np.ndarray:
+    """Encode a DNA sequence (bytes) to uint8 codes 0..3, with 4 = masked."""
+    return _ENCODE[np.frombuffer(seq, dtype=np.uint8)]
+
+
+def decode_sequence(codes: np.ndarray) -> bytes:
+    """Decode uint8 codes back to uppercase ASCII bytes (masked -> N)."""
+    return _DECODE[np.minimum(codes, CODE_N)].tobytes()
+
+
+def complement_codes(codes: np.ndarray) -> np.ndarray:
+    """Complement 2-bit codes (A<->T, C<->G); masked stays masked."""
+    comp = (3 - codes).astype(np.uint8)
+    return np.where(codes >= CODE_N, codes, comp)
+
+
+@dataclass(frozen=True)
+class SequenceRecord:
+    """One FASTA record: description line + encoded sequence."""
+
+    title: bytes  # full description line after '>'
+    codes: np.ndarray  # uint8 codes, 0..3 valid, 4 masked
+
+    @property
+    def identifier(self) -> bytes:
+        """First word of the description (the sequence id)."""
+        return self.title.split(None, 1)[0] if self.title else b""
+
+    def __len__(self) -> int:
+        return int(self.codes.size)
+
+
+@dataclass
+class Genome:
+    """A genome: content MD5 identity plus its encoded sequences."""
+
+    md5: str
+    path: Path
+    records: list[SequenceRecord] = field(repr=False)
+
+    @property
+    def length(self) -> int:
+        """Total number of bases over all sequences (ref db_orm.py:130)."""
+        return sum(len(rec) for rec in self.records)
+
+    @property
+    def description(self) -> str:
+        """Description of the first sequence (ref db_orm.py:810-822)."""
+        return self.records[0].title.decode(errors="replace") if self.records else ""
+
+    @property
+    def n_sequences(self) -> int:
+        return len(self.records)
+
+
+def load_genome(path: Path | str, md5: str | None = None) -> Genome:
+    """Load a FASTA file (gzip transparent) into a :class:`Genome`."""
+    path = Path(path)
+    if md5 is None:
+        md5 = file_md5sum(path)
+    records: list[SequenceRecord] = []
+    try:
+        with gzip.open(path, "rb") as handle:
+            for title, seq in fasta_bytes_iterator(handle):
+                records.append(SequenceRecord(title, encode_sequence(seq)))
+    except gzip.BadGzipFile:
+        with path.open("rb") as handle:
+            for title, seq in fasta_bytes_iterator(handle):
+                records.append(SequenceRecord(title, encode_sequence(seq)))
+    return Genome(md5=md5, path=path, records=records)

@@ -1,0 +1,46 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+
+The multi-chip sharding paths are exercised in tests on virtual CPU devices
+(there is at most one real TPU chip available in CI); benchmarking against
+the real chip happens in bench.py, not here.
+"""
+
+import os
+from pathlib import Path
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest
+
+REFERENCE_FIXTURES = Path("/root/reference/tests/fixtures")
+
+
+@pytest.fixture(scope="session")
+def fixtures_dir() -> Path:
+    """Reference repo golden fixture directory (read-only)."""
+    if not REFERENCE_FIXTURES.is_dir():
+        pytest.skip("reference fixtures not available")
+    return REFERENCE_FIXTURES
+
+
+@pytest.fixture(scope="session")
+def viral_example(fixtures_dir: Path) -> Path:
+    """Three ~39-58kb phage genomes: the main golden set."""
+    return fixtures_dir / "viral_example"
+
+
+@pytest.fixture(scope="session")
+def bacterial_example(fixtures_dir: Path) -> Path:
+    """Four gzipped bacterial genomes (fast methods only)."""
+    return fixtures_dir / "bacterial_example"
+
+
+@pytest.fixture(scope="session")
+def bad_alignments(fixtures_dir: Path) -> Path:
+    """Two divergent phages with no alignable regions (all-NULL)."""
+    return fixtures_dir / "bad_alignments"
