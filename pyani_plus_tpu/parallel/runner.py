@@ -1,0 +1,198 @@
+"""The run driver: ingest genomes, compute pending pairs, persist, cache.
+
+Mirrors the reference's ``start_and_run_method`` + ``run_method`` flow
+(public_cli.py:115-329) minus the Snakemake/subprocess machinery:
+
+1. validate the FASTA directory, MD5-index every genome (duplicate-MD5
+   error, public_cli.py:158-173);
+2. idempotently record genomes / configuration / run rows;
+3. derive the pending (query, subject) pair set from the store --
+   comparisons computed by any earlier run with the same configuration
+   are reused, never recomputed (db_orm.py:222-228 semantics);
+4. hand whole tiles of pending pairs to the method kernel;
+5. bulk INSERT OR IGNORE results, verify N^2 completeness, cache the
+   five matrices on the run row, set status "Done".
+
+Interrupts (SIGINT/SIGTERM) are caught so completed comparisons are
+flushed and the run is marked "Worker interrupted" -- same graceful
+recovery contract as the reference workers (private_cli.py:816-823).
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Any
+
+from pyani_plus_tpu import log_sys_exit
+from pyani_plus_tpu.db import Database, Run
+from pyani_plus_tpu.genomes import Genome, load_genome
+from pyani_plus_tpu.methods import ComputeContext, get_method
+from pyani_plus_tpu.utils import check_fasta, file_md5sum
+
+
+def index_fasta_directory(
+    logger: logging.Logger, fasta: Path
+) -> dict[str, Path]:
+    """MD5-index a FASTA directory; error on duplicate genome content."""
+    filename_to_hash = {f: file_md5sum(f) for f in check_fasta(logger, fasta)}
+    hash_to_filename: dict[str, Path] = {}
+    for filename, md5 in filename_to_hash.items():
+        if md5 in hash_to_filename:
+            msg = (
+                f"Multiple genomes with same MD5 checksum {md5}:\n"
+                f" - {hash_to_filename[md5]}\n - {filename}"
+            )
+            log_sys_exit(logger, msg)
+        hash_to_filename[md5] = filename
+    return hash_to_filename
+
+
+def start_and_run_method(  # noqa: PLR0913
+    logger: logging.Logger,
+    database: Path | str,
+    fasta: Path,
+    method_name: str,
+    *,
+    name: str | None = None,
+    cmdline: str = "",
+    create_db: bool = False,
+    cache: Path | None = None,
+    extra_files: dict[str, Path] | None = None,
+    **params: Any,
+) -> int:
+    """Full run of one method over a FASTA directory; returns run_id."""
+    method = get_method(method_name)
+    config = method.configuration(**params)
+
+    hash_to_filename = index_fasta_directory(logger, fasta)
+    logger.info("Indexed %d genomes from %s", len(hash_to_filename), fasta)
+
+    db = Database(database, create=create_db, logger=logger)
+    try:
+        run = _setup_run(
+            logger, db, fasta, config, hash_to_filename, name, cmdline, method_name
+        )
+        return resume_run(
+            logger,
+            db,
+            run,
+            hash_to_filename=hash_to_filename,
+            cache=cache,
+            extra_files=extra_files,
+        )
+    finally:
+        db.close()
+
+
+def _setup_run(  # noqa: PLR0913
+    logger: logging.Logger,
+    db: Database,
+    fasta: Path,
+    config: dict[str, Any],
+    hash_to_filename: dict[str, Path],
+    name: str | None,
+    cmdline: str,
+    method_name: str,
+) -> Run:
+    configuration = db.get_or_create_configuration(
+        config["method"],
+        config["program"],
+        config["version"],
+        fragsize=config.get("fragsize"),
+        mode=config.get("mode"),
+        kmersize=config.get("kmersize"),
+        minmatch=config.get("minmatch"),
+        extra=config.get("extra"),
+    )
+    for md5, filename in hash_to_filename.items():
+        genome = load_genome(filename, md5)
+        db.add_genome(md5, str(filename), genome.length, genome.description)
+    n = len(hash_to_filename)
+    return db.add_run(
+        configuration.configuration_id,
+        cmdline,
+        str(fasta),
+        "Initialising",
+        name or f"{n} genomes using {method_name}",
+        [(md5, filename.name) for md5, filename in hash_to_filename.items()],
+    )
+
+
+def resume_run(  # noqa: PLR0913, C901
+    logger: logging.Logger,
+    db: Database,
+    run: Run,
+    *,
+    hash_to_filename: dict[str, Path] | None = None,
+    cache: Path | None = None,
+    extra_files: dict[str, Path] | None = None,
+) -> int:
+    """Compute whatever comparisons the run still needs; finalise it."""
+    config_obj = run.configuration
+    config = {
+        "method": config_obj.method,
+        "program": config_obj.program,
+        "version": config_obj.version,
+        "fragsize": config_obj.fragsize,
+        "mode": config_obj.mode,
+        "kmersize": config_obj.kmersize,
+        "minmatch": config_obj.minmatch,
+        "extra": config_obj.extra,
+    }
+    method = get_method(config_obj.method)
+
+    hashes = run.genome_hashes
+    n = len(hashes)
+    if hash_to_filename is None:
+        hash_to_filename = {
+            h: Path(run.fasta_directory) / f for h, f in run.hash_to_filename.items()
+        }
+
+    done = db.existing_pairs(run.configuration_id, hashes)
+    pending = {
+        (q, s) for q in hashes for s in hashes if (q, s) not in done
+    }
+    logger.info(
+        "Run %d: %d of %d comparisons already done, %d pending",
+        run.run_id,
+        n * n - len(pending),
+        n * n,
+        len(pending),
+    )
+
+    if pending:
+        run.set_status("Running")
+        genomes: dict[str, Genome] = {}
+        for md5 in hashes:
+            genomes[md5] = load_genome(hash_to_filename[md5], md5)
+
+        ctx = ComputeContext(
+            logger=logger,
+            genomes=genomes,
+            query_hashes=hashes,
+            subject_hashes=hashes,
+            pending=pending,
+            config=config,
+            cache=cache,
+            extra_files=extra_files or {},
+        )
+        try:
+            rows = method.compute(ctx)
+        except KeyboardInterrupt:
+            logger.error("Interrupted; marking run as 'Worker interrupted'")
+            run.set_status("Worker interrupted")
+            return run.run_id
+        db.insert_comparisons(rows, configuration_id=run.configuration_id)
+
+    final = run.comparisons_count()
+    if final != n * n:
+        msg = (
+            f"Run {run.run_id} has {final} of {n}²={n * n} comparisons"
+            " after compute -- method returned incomplete results"
+        )
+        log_sys_exit(logger, msg)
+    run.cache_comparisons()
+    run.set_status("Done")
+    logger.info("Run %d complete: %d comparisons", run.run_id, final)
+    return run.run_id

@@ -1,0 +1,217 @@
+"""End-to-end public CLI tests: run, export, resume, classify, list, delete.
+
+Follows the reference's test strategy layer 5 (tests/test_public_cli.py in
+the reference): every command on the small fixture sets, fixture-matrix
+comparison within atol 2e-8, resume-from-partial.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+from click.testing import CliRunner
+
+from pyani_plus_tpu.cli.main import app
+from pyani_plus_tpu.db import Database
+
+ATOL = 2e-8
+
+
+@pytest.fixture
+def runner() -> CliRunner:
+    return CliRunner()
+
+
+def _read(path: Path) -> pd.DataFrame:
+    return (
+        pd.read_csv(path, sep="\t", index_col=0).sort_index(axis=0).sort_index(axis=1)
+    )
+
+
+@pytest.fixture(scope="module")
+def sourmash_run(tmp_path_factory, viral_example_mod):
+    """One completed sourmash run over the viral set, exported."""
+    tmp = tmp_path_factory.mktemp("sourmash_run")
+    db_path = tmp / "db.sqlite"
+    outdir = tmp / "out"
+    outdir.mkdir()
+    runner = CliRunner()
+    result = runner.invoke(
+        app,
+        [
+            "sourmash",
+            str(viral_example_mod),
+            "-d",
+            str(db_path),
+            "--create-db",
+            "--scaled",
+            "300",
+        ],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    result = runner.invoke(
+        app,
+        ["export-run", "-d", str(db_path), "-o", str(outdir)],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    return db_path, outdir
+
+
+@pytest.fixture(scope="module")
+def viral_example_mod():
+    path = Path("/root/reference/tests/fixtures/viral_example")
+    if not path.is_dir():
+        pytest.skip("reference fixtures not available")
+    return path
+
+
+def test_sourmash_run_matches_fixtures(sourmash_run, viral_example_mod) -> None:
+    _db_path, outdir = sourmash_run
+    for ours, theirs in (
+        ("sourmash_identity.tsv", "sourmash_identity.tsv"),
+        ("sourmash_query_cov.tsv", "sourmash_coverage.tsv"),
+    ):
+        got = _read(outdir / ours)
+        expected = _read(viral_example_mod / "matrices" / theirs)
+        assert np.nanmax(np.abs(got.values - expected.values)) < ATOL
+
+
+def test_export_long_form(sourmash_run) -> None:
+    _db_path, outdir = sourmash_run
+    long_form = outdir / "sourmash_run_1.tsv"
+    lines = long_form.read_text().splitlines()
+    assert lines[0].startswith("#Query\tSubject\tIdentity")
+    assert len(lines) == 1 + 9  # header + 3x3 comparisons
+    # aln_length etc are NA for sourmash
+    assert lines[1].split("\t")[7] == "NA"
+
+
+def test_resume_noop_complete(runner, sourmash_run) -> None:
+    db_path, _ = sourmash_run
+    result = runner.invoke(
+        app, ["resume", "-d", str(db_path)], catch_exceptions=False
+    )
+    assert result.exit_code == 0, result.output
+    assert "resumed" in result.output
+
+
+def test_resume_from_partial(runner, viral_example_mod, tmp_path) -> None:
+    db_path = tmp_path / "partial.sqlite"
+    result = runner.invoke(
+        app,
+        [
+            "sourmash",
+            str(viral_example_mod),
+            "-d",
+            str(db_path),
+            "--create-db",
+            "--scaled",
+            "300",
+        ],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0
+    # Delete some comparisons to fake an interrupted run
+    with Database(db_path) as db:
+        db.execute_with_retries(
+            "DELETE FROM comparisons WHERE comparison_id IN"
+            " (SELECT comparison_id FROM comparisons LIMIT 4)"
+        )
+        db.execute_with_retries("UPDATE runs SET status='Worker interrupted'")
+        run = db.load_run()
+        assert run.comparisons_count() == 5
+    result = runner.invoke(app, ["resume", "-d", str(db_path)], catch_exceptions=False)
+    assert result.exit_code == 0, result.output
+    with Database(db_path) as db:
+        run = db.load_run()
+        assert run.comparisons_count() == 9
+        assert run.status == "Done"
+
+
+def test_classify(runner, sourmash_run, tmp_path) -> None:
+    db_path, _ = sourmash_run
+    outdir = tmp_path / "classify"
+    result = runner.invoke(
+        app,
+        ["classify", "-d", str(db_path), "-o", str(outdir), "--no-plot"],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    df = pd.read_csv(outdir / "sourmash_classify.tsv", sep="\t")
+    assert list(df.columns) == [
+        "n_nodes",
+        "max_cov",
+        "min_identity",
+        "max_identity",
+        "members",
+    ]
+    # Three similar genomes: the full 3-clique should be found
+    assert 3 in set(df["n_nodes"])
+
+
+def test_classify_tani_mode(runner, sourmash_run, tmp_path) -> None:
+    db_path, _ = sourmash_run
+    outdir = tmp_path / "classify_tani"
+    result = runner.invoke(
+        app,
+        [
+            "classify",
+            "-d",
+            str(db_path),
+            "-o",
+            str(outdir),
+            "--mode",
+            "tANI",
+            "--no-plot",
+        ],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    df = pd.read_csv(outdir / "sourmash_classify.tsv", sep="\t")
+    assert "min_-tANI" in df.columns
+
+
+def test_list_runs(runner, sourmash_run) -> None:
+    db_path, _ = sourmash_run
+    result = runner.invoke(app, ["list-runs", "-d", str(db_path)], catch_exceptions=False)
+    assert result.exit_code == 0
+    assert "Done" in result.output
+
+
+def test_delete_run(runner, viral_example_mod, tmp_path) -> None:
+    db_path = tmp_path / "del.sqlite"
+    result = runner.invoke(
+        app,
+        [
+            "sourmash",
+            str(viral_example_mod),
+            "-d",
+            str(db_path),
+            "--create-db",
+            "--scaled",
+            "300",
+        ],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0
+    result = runner.invoke(
+        app, ["delete-run", "-d", str(db_path), "--force"], catch_exceptions=False
+    )
+    assert result.exit_code == 0
+    with Database(db_path) as db:
+        assert db.list_runs() == []
+        # Comparisons are retained for reuse
+        count = db.conn.execute("SELECT COUNT(*) FROM comparisons").fetchone()[0]
+        assert count == 9
+
+
+def test_missing_db_errors(runner, viral_example_mod, tmp_path) -> None:
+    result = runner.invoke(
+        app,
+        ["sourmash", str(viral_example_mod), "-d", str(tmp_path / "no.sqlite")],
+    )
+    assert result.exit_code != 0
+    assert "not using --create-db" in str(result.output) + str(result.exception)
