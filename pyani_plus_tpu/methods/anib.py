@@ -1,0 +1,171 @@
+"""ANIb: fragment + BLAST-equivalent alignment ANI (Goris et al. 2007).
+
+Replaces makeblastdb/blastn (reference invocation private_cli.py:1335-1400,
+scoring task=blastn: reward 2, penalty -3, gap 5/2, evalue 1e-15).
+
+Pipeline per (query, subject) pair -- semantics per methods/anib.py in
+the reference:
+
+1. chop every query sequence into <=1020 bp pieces, tail included
+   (anib.py:58-88);
+2. per fragment, find the best local alignment against the subject:
+   11-mer seed hash-join -> candidate diagonal bands (both strands) ->
+   windowed Smith-Waterman with blastn scoring (ops/dp.py); E-value
+   gate at 1e-15 via Karlin-Altschul (gapped 2/-3/5/2 params);
+3. accept fragments with (length-gaps)/qlen > 0.7 and
+   (length-gaps-mismatch)/qlen > 0.3 (anib.py:40-42);
+4. identity = mean(pident)/100 with pident rounded to 3 decimals as
+   blastn prints it; aln_length = sum(length-gaps);
+   sim_errors = sum(mismatch+gaps); cov = aln_length / genome length
+   (private_cli.py:1404-1416).
+"""
+
+from __future__ import annotations
+
+from math import exp, log
+
+import numpy as np
+
+from pyani_plus_tpu import __version__
+from pyani_plus_tpu.genomes import Genome, complement_codes
+from pyani_plus_tpu.methods import ComputeContext
+from pyani_plus_tpu.ops.dp import AlignmentStats, local_align_stats
+from pyani_plus_tpu.ops.seeds import SeedIndex, candidate_bands
+
+NAME = "ANIb"
+PROGRAM = "pyani-plus-tpu-anib"
+
+FRAGSIZE = 1020  # ref anib.py:40
+MIN_COVERAGE = 0.7
+MIN_IDENTITY = 0.3
+EVALUE = 1e-15
+# Karlin-Altschul parameters for gapped blastn 2/-3, gap 5/2
+KA_LAMBDA = 0.625
+KA_K = 0.41
+
+WINDOW_MARGIN = 150  # subject window slack around the seed band
+
+
+def configuration(*, fragsize: int = FRAGSIZE) -> dict:
+    return {
+        "method": NAME,
+        "program": PROGRAM,
+        "version": __version__,
+        "fragsize": fragsize,
+    }
+
+
+def fragment_genome(genome: Genome, fragsize: int) -> list[np.ndarray]:
+    """Code-array fragments of <=fragsize, tails included (anib.py:58-88)."""
+    fragments: list[np.ndarray] = []
+    for rec in genome.records:
+        for start in range(0, len(rec.codes), fragsize):
+            fragments.append(rec.codes[start : start + fragsize])
+    return fragments
+
+
+def _min_score(qlen: int, subject_total: int, evalue: float = EVALUE) -> float:
+    """Karlin-Altschul score threshold for the E-value cutoff."""
+    search_space = max(qlen * subject_total, 1)
+    return log(KA_K * search_space / evalue) / KA_LAMBDA
+
+
+def best_fragment_alignment(
+    frag: np.ndarray,
+    subject_records: list[np.ndarray],
+    seed_indexes: list[SeedIndex],
+) -> AlignmentStats | None:
+    """Best local alignment of one fragment over all subject sequences/strands."""
+    best: AlignmentStats | None = None
+    frag_rc = complement_codes(frag)[::-1].copy()
+    for codes, index in zip(subject_records, seed_indexes):
+        for strand_frag in (frag, frag_rc):
+            q_pos, s_pos = index.hits(strand_frag)
+            for diag_lo, diag_hi, _count in candidate_bands(q_pos, s_pos):
+                w_lo = max(0, diag_lo - WINDOW_MARGIN)
+                w_hi = min(
+                    codes.size, diag_hi + strand_frag.size + WINDOW_MARGIN
+                )
+                window = codes[w_lo:w_hi]
+                stats = local_align_stats(strand_frag, window)
+                if stats is not None and (best is None or stats.score > best.score):
+                    best = AlignmentStats(
+                        score=stats.score,
+                        length=stats.length,
+                        matches=stats.matches,
+                        mismatches=stats.mismatches,
+                        gaps=stats.gaps,
+                        gap_opens=stats.gap_opens,
+                        query_start=stats.query_start,
+                        query_end=stats.query_end,
+                        subject_start=w_lo + stats.subject_start,
+                        subject_end=w_lo + stats.subject_end,
+                    )
+    return best
+
+
+def compute_pair(
+    query: Genome,
+    subject: Genome,
+    seed_indexes: list[SeedIndex],
+    fragsize: int,
+) -> tuple[float | None, int | None, int | None]:
+    """(identity, aln_length, sim_errors) for one directed pair."""
+    subject_records = [rec.codes for rec in subject.records]
+    total_pid_100 = 0.0
+    total_count = 0
+    total_aln_length = 0
+    total_sim_errors = 0
+    for frag in fragment_genome(query, fragsize):
+        stats = best_fragment_alignment(frag, subject_records, seed_indexes)
+        if stats is None:
+            continue
+        if stats.score < _min_score(frag.size, subject.length):
+            continue
+        ani_alnlen = stats.length - stats.gaps
+        ani_query_coverage = ani_alnlen / frag.size
+        ani_pid = (ani_alnlen - stats.mismatches) / frag.size
+        if ani_query_coverage > MIN_COVERAGE and ani_pid > MIN_IDENTITY:
+            total_aln_length += ani_alnlen
+            total_sim_errors += stats.mismatches + stats.gaps
+            # blastn prints pident with 3 decimals; parse re-reads it
+            total_pid_100 += float(f"{stats.pident:.3f}")
+            total_count += 1
+    if not total_count:
+        return None, None, None
+    return (
+        total_pid_100 / (total_count * 100),
+        total_aln_length,
+        total_sim_errors,
+    )
+
+
+def compute(ctx: ComputeContext) -> list[dict]:
+    fragsize = ctx.config.get("fragsize") or FRAGSIZE
+    rows: list[dict] = []
+    subjects = sorted({s for _q, s in ctx.pending})
+    for subject_hash in subjects:
+        subject = ctx.genomes[subject_hash]
+        seed_indexes = [SeedIndex(rec.codes) for rec in subject.records]
+        for query_hash in sorted(q for q, s in ctx.pending if s == subject_hash):
+            query = ctx.genomes[query_hash]
+            identity, aln_length, sim_errors = compute_pair(
+                query, subject, seed_indexes, fragsize
+            )
+            rows.append(
+                {
+                    "query_hash": query_hash,
+                    "subject_hash": subject_hash,
+                    "identity": identity,
+                    "aln_length": aln_length,
+                    "sim_errors": sim_errors,
+                    "cov_query": None
+                    if aln_length is None
+                    else aln_length / query.length,
+                    "cov_subject": None
+                    if aln_length is None
+                    else aln_length / subject.length,
+                }
+            )
+            ctx.tick()
+    return rows

@@ -1,0 +1,308 @@
+"""Fragment-to-genome mapping via winnowed MinHash (fastANI/MashMap core).
+
+TPU-native replacement for the fastANI binary (SURVEY.md section 2.2).
+Each 3 kb query fragment is sketched with winnowed minimizers (k=16,
+w=24) and mapped against the reference genome's minimizer index; the
+Jaccard similarity of the fragment A vs the reference substring starting
+at position p is estimated with the winnowed-minhash estimator of the
+MashMap paper:
+
+    j(p) = |S(W(A) u W(B_p)) n W(A) n W(B_p)| / s
+
+where W(A) is the fragment's sketch (s unique hashes), W(B_p) the
+minimizer set of the reference substring [p, p+L), and S(.) the s
+smallest hashes of the union. W(B_p) is derived *exactly* from the
+whole-reference winnowing via pick runs: a minimizer belongs to the
+substring iff its pick run intersects the substring's window steps
+[p+w-1, p+L-k] (see ops/minimizers.py). j is maximised over all p
+(evaluated at every step where window content changes, so the maximum
+is exact). Jaccard converts to ANI via Mash distance
+d = -1/k ln(2j/(1+j)).
+
+Self-alignment therefore yields j = 1 exactly, reproducing fastANI's
+100% self-ANI (and its < 100% anomaly on N-runs, since N bytes hash
+literally). Remaining deviation from the fastANI binary is < ~0.0006
+identity on the reference fixtures: fastANI's L2 evaluates candidate
+windows at heuristic anchor points rather than the exact maximum.
+
+The per-candidate-region evaluation is a dense (events x hash-domain)
+membership computation -- interval scatter, cumsum, rank reductions --
+the exact shape that vectorises onto TPU; numpy is the host path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from math import ceil, exp, log
+
+import numpy as np
+
+from pyani_plus_tpu.ops.minimizers import Minimizers, window_minimizers
+
+KMER_SIZE = 16
+WINDOW_SIZE = 24
+FRAG_LEN = 3000
+PERC_IDENTITY = 80.0  # fastANI default mapping identity cutoff
+
+
+def md2j(d: float, k: int) -> float:
+    """Mash distance -> Jaccard (MashMap Stat::md2j)."""
+    return 1.0 / (2.0 * exp(d * k) - 1.0)
+
+
+def j2md(j: float, k: int) -> float:
+    """Jaccard -> Mash distance (MashMap Stat::j2md)."""
+    if j == 0:
+        return 1.0
+    return (-1.0 / k) * log(2.0 * j / (1.0 + j))
+
+
+def n_window_steps(frag_len: int, k: int, w: int) -> int:
+    """Number of window steps inside a fragment of length frag_len."""
+    return frag_len - k - w + 2
+
+
+@dataclass
+class RefIndex:
+    """Minimizer pick-run index of one reference genome (all sequences)."""
+
+    seq_ids: np.ndarray  # int32 per record
+    hashes: np.ndarray  # uint64
+    first_steps: np.ndarray  # int64
+    last_steps: np.ndarray  # int64
+    seq_lengths: list[int]
+    total_length: int
+    k: int = KMER_SIZE
+    w: int = WINDOW_SIZE
+
+    @classmethod
+    def build(
+        cls,
+        sequences: list[bytes | np.ndarray],
+        k: int = KMER_SIZE,
+        w: int = WINDOW_SIZE,
+    ) -> "RefIndex":
+        seq_ids, hashes, firsts, lasts, lengths = [], [], [], [], []
+        for sid, seq in enumerate(sequences):
+            lengths.append(len(seq))
+            mins = window_minimizers(seq, k, w)
+            if mins.count:
+                seq_ids.append(np.full(mins.count, sid, dtype=np.int32))
+                hashes.append(mins.hashes)
+                firsts.append(mins.first_steps)
+                lasts.append(mins.last_steps)
+        if hashes:
+            return cls(
+                seq_ids=np.concatenate(seq_ids),
+                hashes=np.concatenate(hashes),
+                first_steps=np.concatenate(firsts),
+                last_steps=np.concatenate(lasts),
+                seq_lengths=lengths,
+                total_length=sum(lengths),
+                k=k,
+                w=w,
+            )
+        return cls(
+            seq_ids=np.empty(0, np.int32),
+            hashes=np.empty(0, np.uint64),
+            first_steps=np.empty(0, np.int64),
+            last_steps=np.empty(0, np.int64),
+            seq_lengths=lengths,
+            total_length=sum(lengths),
+            k=k,
+            w=w,
+        )
+
+
+@dataclass
+class FragmentMapping:
+    """Best mapping of one query fragment."""
+
+    fragment_id: int
+    ref_seq_id: int
+    ref_step: int  # window-step anchor t of the (leftmost) optimal window
+    shared: int
+    sketch_size: int
+    identity: float  # percent nucleotide identity estimate
+
+
+def estimate_minimum_hits_relaxed(s: int, k: int, perc_identity: float) -> int:
+    """L1 candidate threshold: relaxed lower bound on shared minimizers.
+
+    Strict estimate is ceil(s * j(tau)); relaxation takes the lower 90%
+    binomial confidence bound (MashMap Stat::estimateMinimumHitsRelaxed).
+    """
+    j = md2j(1.0 - perc_identity / 100.0, k)
+    strict = ceil(s * j)
+    try:
+        from scipy.stats import binom
+
+        relaxed = int(binom.ppf(0.1, s, j)) if s > 0 else 0
+    except Exception:  # pragma: no cover
+        relaxed = strict
+    return max(1, min(strict, relaxed))
+
+
+def _evaluate_region(  # noqa: PLR0913
+    query_hashes_sorted: np.ndarray,  # unique uint64, ascending
+    entry_hash: np.ndarray,  # region run hashes
+    entry_first: np.ndarray,  # region run first steps
+    entry_last: np.ndarray,  # region run last steps
+    event_t: np.ndarray,  # window anchor steps to evaluate (ascending)
+    w_steps: int,
+    s: int,
+) -> tuple[int, int]:
+    """Max top-s-union shared count over the event windows -> (shared, t).
+
+    A run is inside window anchored at t iff it intersects steps
+    [t, t + w_steps - 1], i.e. t in [first - w_steps + 1, last].
+    """
+    domain = np.union1d(query_hashes_sorted, entry_hash)  # sorted unique
+    in_query = np.isin(domain, query_hashes_sorted, assume_unique=True)
+    n_events = event_t.size
+
+    lo = np.searchsorted(event_t, entry_first - w_steps + 1, side="left")
+    hi = np.searchsorted(event_t, entry_last, side="right")
+    hash_idx = np.searchsorted(domain, entry_hash)
+
+    delta = np.zeros((n_events + 1, domain.size), dtype=np.int32)
+    np.add.at(delta, (lo, hash_idx), 1)
+    np.add.at(delta, (hi, hash_idx), -1)
+    ref_member = np.cumsum(delta[:-1], axis=0) > 0  # (events, D)
+
+    union_member = ref_member | in_query[None, :]
+    ranks = np.cumsum(union_member, axis=1)  # 1-based rank of each hash
+    within_s = ranks <= s
+    shared = (ref_member & in_query[None, :] & within_s).sum(axis=1)
+    best = int(shared.argmax())
+    return int(shared[best]), int(event_t[best])
+
+
+def map_fragment(  # noqa: PLR0913, C901
+    frag_minimizers: Minimizers,
+    ref: RefIndex,
+    frag_len: int = FRAG_LEN,
+    k: int = KMER_SIZE,
+    w: int = WINDOW_SIZE,
+    perc_identity: float = PERC_IDENTITY,
+    fragment_id: int = 0,
+) -> FragmentMapping | None:
+    """Map one fragment against a reference index; return the best mapping."""
+    if frag_minimizers.count == 0 or ref.hashes.size == 0:
+        return None
+    query_hashes = np.unique(frag_minimizers.hashes)
+    s = int(query_hashes.size)
+    w_steps = n_window_steps(frag_len, k, w)
+    m = estimate_minimum_hits_relaxed(s, k, perc_identity)
+
+    # L1: every index run whose hash is in the fragment sketch
+    hit_mask = np.isin(ref.hashes, query_hashes)
+    if not hit_mask.any():
+        return None
+    hit_seq = ref.seq_ids[hit_mask]
+    hit_t = ref.first_steps[hit_mask]
+    order = np.lexsort((hit_t, hit_seq))
+    hit_seq, hit_t = hit_seq[order], hit_t[order]
+
+    best_shared, best_t, best_seq = 0, -1, -1
+    for sid in np.unique(hit_seq):
+        t_hits = hit_t[hit_seq == sid]
+        if t_hits.size < m:
+            continue
+        spans_ok = t_hits[m - 1 :] - t_hits[: t_hits.size - m + 1] < w_steps
+        if not spans_ok.any():
+            continue
+        # Candidate anchor-step intervals [a, b]: windows containing m hits
+        starts = np.maximum(
+            t_hits[m - 1 :][spans_ok] - w_steps + 1, 0
+        )
+        ends = t_hits[: t_hits.size - m + 1][spans_ok]
+        regions: list[tuple[int, int]] = []
+        for a, b in zip(starts, ends):
+            b = max(int(a), int(b))  # noqa: PLW2901
+            if regions and a <= regions[-1][1]:
+                regions[-1] = (regions[-1][0], max(regions[-1][1], b))
+            else:
+                regions.append((int(a), b))
+
+        ref_sel = ref.seq_ids == sid
+        seq_hash = ref.hashes[ref_sel]
+        seq_first = ref.first_steps[ref_sel]
+        seq_last = ref.last_steps[ref_sel]
+        for a, b in regions:
+            # Runs that can appear in any window anchored in [a, b]
+            run_mask = (seq_last >= a) & (seq_first <= b + w_steps - 1)
+            if not run_mask.any():
+                continue
+            e_hash = seq_hash[run_mask]
+            e_first = seq_first[run_mask]
+            e_last = seq_last[run_mask]
+            # Events: all content-change anchors within [a, b]
+            events = np.unique(
+                np.clip(
+                    np.concatenate([e_first - w_steps + 1, e_last + 1, [a]]), a, b
+                )
+            )
+            shared, t_opt = _evaluate_region(
+                query_hashes, e_hash, e_first, e_last, events, w_steps, s
+            )
+            if shared > best_shared:
+                best_shared, best_t, best_seq = shared, t_opt, int(sid)
+
+    if best_shared == 0:
+        return None
+    j = min(1.0, best_shared / s)
+    identity = 100.0 * (1.0 - j2md(j, k))
+    if identity < perc_identity:
+        # fastANI keeps mappings whose 90% CI upper bound crosses the
+        # threshold; the difference only matters right at the 80% boundary.
+        return None
+    return FragmentMapping(
+        fragment_id=fragment_id,
+        ref_seq_id=best_seq,
+        ref_step=best_t,
+        shared=best_shared,
+        sketch_size=s,
+        identity=identity,
+    )
+
+
+def reference_filter(
+    mappings: list[FragmentMapping], w_steps: int
+) -> list[FragmentMapping]:
+    """Plane-sweep on the reference axis: keep mappings that are the best
+    (max identity, ties kept) at some reference window they cover.
+
+    Combined with best-per-fragment selection this keeps only 1-1 style
+    mappings -- the reciprocal/orthology filter (fastANI's Filter::ref).
+    """
+    if not mappings:
+        return []
+    survivors: set[int] = set()
+    by_seq: dict[int, list[int]] = {}
+    for idx, mp in enumerate(mappings):
+        by_seq.setdefault(mp.ref_seq_id, []).append(idx)
+    for idxs in by_seq.values():
+        events: list[tuple[int, int, int]] = []
+        for idx in idxs:
+            mp = mappings[idx]
+            events.append((mp.ref_step, 1, idx))
+            events.append((mp.ref_step + w_steps, -1, idx))
+        events.sort(key=lambda e: (e[0], -e[1]))
+        active: set[int] = set()
+        i = 0
+        while i < len(events):
+            pos = events[i][0]
+            while i < len(events) and events[i][0] == pos:
+                _, typ, idx = events[i]
+                if typ == 1:
+                    active.add(idx)
+                else:
+                    active.discard(idx)
+                i += 1
+            if active:
+                best = max(mappings[idx].identity for idx in active)
+                survivors.update(
+                    idx for idx in active if mappings[idx].identity == best
+                )
+    return [mappings[idx] for idx in sorted(survivors)]

@@ -1,0 +1,75 @@
+"""Tests for the ANIb method (BLAST-equivalent fragment alignment).
+
+Oracle: the per-fragment blastn fixture TSVs and the expected matrices.
+Our optimal-local DP with blastn scoring reproduces blastn's best HSP
+statistics (pident, length, mismatch, gaps) bit-exactly on the viral
+fixtures, so integer matrices match exactly.
+"""
+
+from pathlib import Path
+
+import pytest
+
+from pyani_plus_tpu.genomes import load_genome
+from pyani_plus_tpu.methods.anib import (
+    best_fragment_alignment,
+    compute_pair,
+    fragment_genome,
+)
+from pyani_plus_tpu.ops.seeds import SeedIndex
+
+
+@pytest.fixture(scope="module")
+def viral():
+    d = Path("/root/reference/tests/fixtures/viral_example")
+    if not d.is_dir():
+        pytest.skip("reference fixtures not available")
+    return d
+
+
+def test_fragment_counts_and_tail(viral) -> None:
+    genome = load_genome(viral / "MGV-GENOME-0264574.fas")  # 39253 bp
+    frags = fragment_genome(genome, 1020)
+    assert len(frags) == 39  # ceil(39253/1020): tails are kept (anib.py:58-88)
+    assert frags[-1].size == 39253 - 38 * 1020
+
+
+def test_per_fragment_blast_parity(viral) -> None:
+    """Every fragment's best HSP must match blastn's output exactly."""
+    query = load_genome(viral / "MGV-GENOME-0264574.fas")
+    subject = load_genome(viral / "MGV-GENOME-0266457.fna")
+    expected = {}
+    fixture = viral / "intermediates" / "ANIb" / (
+        "MGV-GENOME-0264574_vs_MGV-GENOME-0266457.tsv"
+    )
+    for line in fixture.read_text().splitlines():
+        fields = line.split("\t")
+        expected.setdefault(
+            fields[0],
+            (float(fields[2]), int(fields[3]), int(fields[4]), int(fields[6])),
+        )
+    indexes = [SeedIndex(rec.codes) for rec in subject.records]
+    subject_codes = [rec.codes for rec in subject.records]
+    for i, frag in enumerate(fragment_genome(query, 1020)):
+        name = f"frag{i + 1:05d}"
+        stats = best_fragment_alignment(frag, subject_codes, indexes)
+        assert stats is not None, name
+        got = (
+            float(f"{stats.pident:.3f}"),
+            stats.length,
+            stats.mismatches,
+            stats.gaps,
+        )
+        assert got == expected[name], f"{name}: {got} != {expected[name]}"
+
+
+def test_pair_summary_matches_doctest_values(viral) -> None:
+    """Spot value from reference anib.py doctest (99.5% over 39169, 215 errors)."""
+    query = load_genome(viral / "MGV-GENOME-0264574.fas")
+    subject = load_genome(viral / "MGV-GENOME-0266457.fna")
+    indexes = [SeedIndex(rec.codes) for rec in subject.records]
+    identity, aln_length, sim_errors = compute_pair(query, subject, indexes, 1020)
+    assert aln_length == 39169
+    assert sim_errors == 215
+    assert round(100 * identity, 1) == 99.5
+    assert abs(identity - 0.9945938462) < 2e-8
