@@ -101,6 +101,7 @@ def _align_cluster(
     if not chain:
         return None
     errors = 0
+    gapcols = 0
     rs, qs, l0 = chain[0]
     prev_re, prev_qe = rs + l0, qs + l0
     for ri, qi, li in chain[1:]:
@@ -111,27 +112,31 @@ def _align_cluster(
             prev_re = max(prev_re, ri + li)
             prev_qe = max(prev_qe, qi + li)
             continue
-        errors += gap_errors(ref[prev_re:ri_t], qry[prev_qe:qi_t])
+        g_err, g_gap = gap_errors(ref[prev_re:ri_t], qry[prev_qe:qi_t])
+        errors += g_err
+        gapcols += g_gap
         prev_re, prev_qe = ri + li, qi + li
 
     # Outward extensions (max-score stop, length-capped like postnuc)
     left_budget = min(rs, MAX_EXTENSION)
     right_budget = min(ref.size - prev_re, MAX_EXTENSION)
-    ext_l_r, ext_l_q, ext_l_err = extend_errors(
+    ext_l_r, ext_l_q, ext_l_err, ext_l_gap = extend_errors(
         ref[rs - left_budget : rs][::-1].copy(),
         qry[max(0, qs - MAX_EXTENSION) : qs][::-1].copy(),
     )
-    ext_r_r, ext_r_q, ext_r_err = extend_errors(
+    ext_r_r, ext_r_q, ext_r_err, ext_r_gap = extend_errors(
         ref[prev_re : prev_re + right_budget].copy(),
         qry[prev_qe : prev_qe + MAX_EXTENSION].copy(),
     )
     errors += ext_l_err + ext_r_err
+    gapcols += ext_l_gap + ext_r_gap
     return Alignment(
         ref_start=rs - ext_l_r,
         ref_end=prev_re + ext_r_r,
         qry_start=qs - ext_l_q,
         qry_end=prev_qe + ext_r_q,
         errors=errors,
+        gap_columns=gapcols,
     )
 
 
@@ -172,6 +177,7 @@ def align_sequences(
                 qry_end=qlen - qs,
                 errors=block.errors,
                 reverse=True,
+                gap_columns=block.gap_columns,
             )
         alignments.append(block)
     return alignments

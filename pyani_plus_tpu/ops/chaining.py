@@ -35,6 +35,12 @@ class Alignment:
     qry_end: int
     errors: int  # non-identity columns (mismatches + gap columns)
     reverse: bool = False  # query on the minus strand
+    gap_columns: int = 0  # total gap columns (subset of errors)
+
+    @property
+    def columns(self) -> int:
+        """Total alignment columns: (ref_len + qry_len + gapcols) / 2."""
+        return (self.ref_len + self.qry_len + self.gap_columns) // 2
 
     @property
     def ref_len(self) -> int:

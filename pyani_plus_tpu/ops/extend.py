@@ -35,15 +35,15 @@ def _band_dp(  # noqa: PLR0915
     match: int = MATCH,
     mismatch: int = MISMATCH,
     gap: int = GAP,
-) -> tuple[int, int, int, int]:
-    """Banded anchored DP -> (best_i, best_j, best_score, errors)."""
+) -> tuple[int, int, int, int, int]:
+    """Banded anchored DP -> (best_i, best_j, best_score, errors, gapcols)."""
     m, n = int(a.size), int(b.size)
     if m == 0 and n == 0:
-        return 0, 0, 0, 0
+        return 0, 0, 0, 0, 0
     if m == 0:
-        return 0, n, gap * n, n
+        return 0, n, gap * n, n, n
     if n == 0:
-        return m, 0, gap * m, m
+        return m, 0, gap * m, m, m
 
     width = 2 * band + 1
     offs = np.arange(width)
@@ -65,11 +65,12 @@ def _band_dp(  # noqa: PLR0915
     valid0 = (js0 >= 0) & (js0 <= n)
     score = np.where(valid0, gap * np.abs(js0), NEG).astype(np.int64)
     err = np.where(valid0, np.abs(js0), 0).astype(np.int64)
-    best = (0, 0, 0, 0)
+    gaps_arr = err.copy()  # row-0 errors are all gap columns
+    best = (0, 0, 0, 0, 0)
     if free_end:
         k = int(np.argmax(score))
         if score[k] > best[2]:
-            best = (0, int(js0[k]), int(score[k]), int(err[k]))
+            best = (0, int(js0[k]), int(score[k]), int(err[k]), int(gaps_arr[k]))
 
     a16 = a.astype(np.int16)
     b16 = b.astype(np.int16)
@@ -89,8 +90,10 @@ def _band_dp(  # noqa: PLR0915
 
         diag_s = shifted(score, 1, NEG)
         diag_e = shifted(err, 1, 0)
+        diag_g = shifted(gaps_arr, 1, 0)
         up_s = shifted(score, 0, NEG)
         up_e = shifted(err, 0, 0)
+        up_g = shifted(gaps_arr, 0, 0)
 
         in_b = valid & (js >= 1)
         bj = np.clip(js - 1, 0, n - 1)
@@ -99,7 +102,9 @@ def _band_dp(  # noqa: PLR0915
         u = up_s + gap
 
         base = np.maximum(d, u)
-        base_err = np.where(d >= u, diag_e + (~sub_ok), up_e + 1)
+        take_d = d >= u
+        base_err = np.where(take_d, diag_e + (~sub_ok), up_e + 1)
+        base_gap = np.where(take_d, diag_g, up_g + 1)
 
         # Left-gap closure within the row: score[k] = max_{k'<k} base[k'] +
         # gap*(k-k'). Linear gap -> prefix cummax of (base[k'] - gap*k').
@@ -116,8 +121,13 @@ def _band_dp(  # noqa: PLR0915
         new_err = np.where(
             use_left, base_err[safe_src] + (offs - safe_src), base_err
         )
+        new_gap = np.where(
+            use_left, base_gap[safe_src] + (offs - safe_src), base_gap
+        )
         new_score = np.where(valid, new_score, NEG)
-        score, err = new_score, np.where(valid, new_err, 0)
+        score = new_score
+        err = np.where(valid, new_err, 0)
+        gaps_arr = np.where(valid, new_gap, 0)
         if free_end:
             k = int(np.argmax(score))
             # On score ties prefer the longer extension (more consumed
@@ -126,45 +136,48 @@ def _band_dp(  # noqa: PLR0915
             if score[k] > best[2] or (
                 score[k] == best[2] and i + int(js[k]) > best[0] + best[1]
             ):
-                best = (i, int(js[k]), int(score[k]), int(err[k]))
+                best = (i, int(js[k]), int(score[k]), int(err[k]), int(gaps_arr[k]))
 
     if free_end:
         return best
     cm = center(m)
     k = n - (cm - band)
     if 0 <= k < width and score[k] > NEG // 2:
-        return m, n, int(score[k]), int(err[k])
-    return m, n, NEG, max(m, n)  # pragma: no cover - band missed corner
+        return m, n, int(score[k]), int(err[k]), int(gaps_arr[k])
+    return m, n, NEG, max(m, n), abs(m - n)  # pragma: no cover - band missed corner
 
 
-def gap_errors(a: np.ndarray, b: np.ndarray, band: int | None = None) -> int:
-    """Error columns of the end-anchored alignment of two gap segments."""
+def gap_errors(
+    a: np.ndarray, b: np.ndarray, band: int | None = None
+) -> tuple[int, int]:
+    """(error columns, gap columns) of the end-anchored alignment of two
+    gap segments."""
     if a.size == 0:
-        return int(b.size)
+        return int(b.size), int(b.size)
     if b.size == 0:
-        return int(a.size)
+        return int(a.size), int(a.size)
     if band is None:
         band = max(20, abs(int(a.size) - int(b.size)) + 20)
     band = int(min(band, max(a.size, b.size)))
-    _, _, _, errors = _band_dp(a, b, band, free_end=False)
-    return int(errors)
+    _, _, _, errors, gapcols = _band_dp(a, b, band, free_end=False)
+    return int(errors), int(gapcols)
 
 
 def extend_errors(
     a: np.ndarray, b: np.ndarray, band: int = 60, breaklen: int = 200
-) -> tuple[int, int, int]:
-    """Extend from the origin into a and b; return (a_len, b_len, errors)
-    of the best-scoring extension (may be (0, 0, 0)).
+) -> tuple[int, int, int, int]:
+    """Extend from the origin into a and b; return (a_len, b_len, errors,
+    gap_columns) of the best-scoring extension (may be all zero).
 
     The useful search region is bounded by the shorter tail plus the
     breaklen slack (an extension cannot usefully outrun the nearer
     sequence end by more than the give-up distance).
     """
     if a.size == 0 or b.size == 0:
-        return 0, 0, 0
+        return 0, 0, 0, 0
     limit = min(a.size, b.size) + breaklen
     a = a[:limit]
     b = b[:limit]
     band = int(min(band, max(a.size, b.size)))
-    i, j, _score, errors = _band_dp(a, b, band, free_end=True)
-    return int(i), int(j), int(errors)
+    i, j, _score, errors, gapcols = _band_dp(a, b, band, free_end=True)
+    return int(i), int(j), int(errors), int(gapcols)
