@@ -53,7 +53,8 @@ def _le_u64(block: np.ndarray) -> np.ndarray:
     if block.strides[-1] == 1 and block.shape[-1] == 8:
         # Fast path: reinterpret 8 contiguous bytes as one LE uint64
         # (numpy is little-endian on all supported platforms here).
-        return block.view("<u8").reshape(block.shape[:-1])
+        # copy: callers mutate in place, and the source may be read-only
+        return block.view("<u8").reshape(block.shape[:-1]).copy()
     out = np.zeros(block.shape[:-1], dtype=np.uint64)  # pragma: no cover
     for i in range(8):  # pragma: no cover
         out |= block[..., i].astype(np.uint64) << np.uint64(8 * i)
