@@ -24,6 +24,9 @@ from typing import Any, Callable
 from pyani_plus_tpu.genomes import Genome
 
 
+FLUSH_WINDOW = 300.0  # seconds between incremental flushes (ref JSON_WINDOW)
+
+
 @dataclass
 class ComputeContext:
     """Everything a method needs to compute a batch of pairs."""
@@ -37,10 +40,31 @@ class ComputeContext:
     cache: Path | None = None
     extra_files: dict[str, Path] = field(default_factory=dict)
     progress: Callable[[int], None] | None = None  # called with #pairs done
+    flush: Callable[[list[dict]], None] | None = None  # incremental persist
+    interrupted: bool = False  # set when a method caught SIGINT/SIGTERM
+    _last_flush: float = field(default=0.0, repr=False)
 
     def tick(self, n: int = 1) -> None:
         if self.progress is not None:
             self.progress(n)
+
+    def maybe_flush(self, rows: list[dict]) -> None:
+        """Persist completed rows if the flush window elapsed.
+
+        Safe to call with the full accumulated list: the store's INSERT
+        OR IGNORE dedupe makes repeated flushes idempotent (the
+        reference's 300 s JSON flush discipline, private_cli.py:59).
+        """
+        import time
+
+        if self.flush is None:
+            return
+        now = time.monotonic()
+        if not self._last_flush:
+            self._last_flush = now
+        elif now - self._last_flush >= FLUSH_WINDOW:
+            self.flush(rows)
+            self._last_flush = now
 
 
 # Method name (as stored in configurations / matrix filenames, matching the
@@ -70,3 +94,27 @@ def get_method(name: str) -> Any:
         msg = f"Unknown method {name!r}; known: {sorted(_MODULES)}"
         raise ValueError(msg) from None
     return importlib.import_module(f"pyani_plus_tpu.methods.{modname}")
+
+
+def run_pairwise(ctx: ComputeContext, fn: Callable[[str, str], dict]) -> list[dict]:
+    """Drive a per-pair method with interrupt + incremental-flush handling.
+
+    SIGINT/SIGTERM (as KeyboardInterrupt) stops cleanly: completed rows
+    are returned (and flagged via ctx.interrupted) so the runner can
+    persist partial work and mark the run "Worker interrupted" -- the
+    reference workers' graceful-interrupt contract
+    (private_cli.py:816-823).
+    """
+    rows: list[dict] = []
+    try:
+        for query_hash, subject_hash in sorted(ctx.pending):
+            result = fn(query_hash, subject_hash)
+            rows.append(
+                {"query_hash": query_hash, "subject_hash": subject_hash, **result}
+            )
+            ctx.tick()
+            ctx.maybe_flush(rows)
+    except KeyboardInterrupt:
+        ctx.interrupted = True
+        ctx.logger.error("Interrupted with %d completed comparisons", len(rows))
+    return rows

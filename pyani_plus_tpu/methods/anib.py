@@ -144,6 +144,15 @@ def compute(ctx: ComputeContext) -> list[dict]:
     fragsize = ctx.config.get("fragsize") or FRAGSIZE
     rows: list[dict] = []
     subjects = sorted({s for _q, s in ctx.pending})
+    try:
+        _compute_all(ctx, rows, subjects, fragsize)
+    except KeyboardInterrupt:
+        ctx.interrupted = True
+        ctx.logger.error("Interrupted with %d completed comparisons", len(rows))
+    return rows
+
+
+def _compute_all(ctx, rows, subjects, fragsize):
     for subject_hash in subjects:
         subject = ctx.genomes[subject_hash]
         seed_indexes = [SeedIndex(rec.codes) for rec in subject.records]
@@ -168,4 +177,4 @@ def compute(ctx: ComputeContext) -> list[dict]:
                 }
             )
             ctx.tick()
-    return rows
+            ctx.maybe_flush(rows)

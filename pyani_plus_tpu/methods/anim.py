@@ -265,13 +265,9 @@ def compute_pair(
 
 def compute(ctx: ComputeContext) -> list[dict]:
     mode = ctx.config.get("mode") or MODE
-    rows: list[dict] = []
-    for query_hash, subject_hash in sorted(ctx.pending):
-        result = compute_pair(
-            ctx.genomes[query_hash], ctx.genomes[subject_hash], mode
-        )
-        rows.append(
-            {"query_hash": query_hash, "subject_hash": subject_hash, **result}
-        )
-        ctx.tick()
-    return rows
+    from pyani_plus_tpu.methods import run_pairwise
+
+    return run_pairwise(
+        ctx,
+        lambda q, s: compute_pair(ctx.genomes[q], ctx.genomes[s], mode),
+    )

@@ -120,11 +120,8 @@ def compute_pair(query: Genome, subject: Genome) -> dict:
 
 
 def compute(ctx: ComputeContext) -> list[dict]:
-    rows: list[dict] = []
-    for query_hash, subject_hash in sorted(ctx.pending):
-        result = compute_pair(ctx.genomes[query_hash], ctx.genomes[subject_hash])
-        rows.append(
-            {"query_hash": query_hash, "subject_hash": subject_hash, **result}
-        )
-        ctx.tick()
-    return rows
+    from pyani_plus_tpu.methods import run_pairwise
+
+    return run_pairwise(
+        ctx, lambda q, s: compute_pair(ctx.genomes[q], ctx.genomes[s])
+    )

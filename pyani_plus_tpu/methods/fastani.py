@@ -130,6 +130,15 @@ def compute(ctx: ComputeContext) -> list[dict]:
 
     rows: list[dict] = []
     subjects = sorted({s for _q, s in ctx.pending})
+    try:
+        _compute_all(ctx, rows, subjects, fragsize, kmersize, minmatch)
+    except KeyboardInterrupt:
+        ctx.interrupted = True
+        ctx.logger.error("Interrupted with %d completed comparisons", len(rows))
+    return rows
+
+
+def _compute_all(ctx, rows, subjects, fragsize, kmersize, minmatch):  # noqa: PLR0913
     for subject_hash in subjects:
         subject = ctx.genomes[subject_hash]
         index = RefIndex.build(
@@ -171,4 +180,4 @@ def compute(ctx: ComputeContext) -> list[dict]:
                     }
                 )
             ctx.tick()
-    return rows
+            ctx.maybe_flush(rows)

@@ -162,10 +162,27 @@ def resume_run(  # noqa: PLR0913, C901
     )
 
     if pending:
+        # SLURM sends SIGTERM; convert to KeyboardInterrupt so the
+        # graceful-interrupt path runs (ref private_cli.py:816-823)
+        import signal
+
+        def _terminate(_signum, _frame):  # pragma: no cover - signal path
+            raise KeyboardInterrupt
+
+        try:
+            signal.signal(signal.SIGTERM, _terminate)
+        except ValueError:  # pragma: no cover - non-main thread
+            pass
+
         run.set_status("Running")
         genomes: dict[str, Genome] = {}
         for md5 in hashes:
             genomes[md5] = load_genome(hash_to_filename[md5], md5)
+
+        def flush(rows: list[dict]) -> None:
+            # Incremental persist: INSERT OR IGNORE makes repeats harmless
+            db.insert_comparisons(rows, configuration_id=run.configuration_id)
+            logger.debug("Flushed %d comparisons", len(rows))
 
         ctx = ComputeContext(
             logger=logger,
@@ -176,6 +193,7 @@ def resume_run(  # noqa: PLR0913, C901
             config=config,
             cache=cache,
             extra_files=extra_files or {},
+            flush=flush,
         )
         try:
             rows = method.compute(ctx)
@@ -184,6 +202,11 @@ def resume_run(  # noqa: PLR0913, C901
             run.set_status("Worker interrupted")
             return run.run_id
         db.insert_comparisons(rows, configuration_id=run.configuration_id)
+        if ctx.interrupted:
+            # Partial results are saved; leave the run resumable
+            run.set_status("Worker interrupted")
+            logger.error("Run %d interrupted; partial results saved", run.run_id)
+            return run.run_id
 
     final = run.comparisons_count()
     if final != n * n:
