@@ -76,8 +76,11 @@ def best_fragment_alignment(
     seed_indexes: list[SeedIndex],
 ) -> AlignmentStats | None:
     """Best local alignment of one fragment over all subject sequences/strands."""
-    best: AlignmentStats | None = None
+    from pyani_plus_tpu.native import local_align_score_native
+    from pyani_plus_tpu.ops.dp import GAP_EXTEND, GAP_OPEN, PENALTY, REWARD
+
     frag_rc = complement_codes(frag)[::-1].copy()
+    candidates = []  # (strand_frag, window, w_lo)
     for codes, index in zip(subject_records, seed_indexes):
         for strand_frag in (frag, frag_rc):
             q_pos, s_pos = index.hits(strand_frag)
@@ -86,22 +89,39 @@ def best_fragment_alignment(
                 w_hi = min(
                     codes.size, diag_hi + strand_frag.size + WINDOW_MARGIN
                 )
-                window = codes[w_lo:w_hi]
+                candidates.append((strand_frag, codes[w_lo:w_hi], w_lo))
+    if not candidates:
+        return None
+    if len(candidates) > 1:
+        # Cheap score-only pass (native rolling-row DP) picks the winner;
+        # the full-stats DP then runs once. Same result: scores identical.
+        scores = []
+        for strand_frag, window, _w_lo in candidates:
+            score = local_align_score_native(
+                strand_frag, window, REWARD, PENALTY, GAP_OPEN, GAP_EXTEND
+            )
+            if score is None:  # pragma: no cover - no compiler
                 stats = local_align_stats(strand_frag, window)
-                if stats is not None and (best is None or stats.score > best.score):
-                    best = AlignmentStats(
-                        score=stats.score,
-                        length=stats.length,
-                        matches=stats.matches,
-                        mismatches=stats.mismatches,
-                        gaps=stats.gaps,
-                        gap_opens=stats.gap_opens,
-                        query_start=stats.query_start,
-                        query_end=stats.query_end,
-                        subject_start=w_lo + stats.subject_start,
-                        subject_end=w_lo + stats.subject_end,
-                    )
-    return best
+                score = 0 if stats is None else stats.score
+            scores.append(score)
+        best_idx = max(range(len(candidates)), key=lambda i: scores[i])
+        candidates = [candidates[best_idx]]
+    strand_frag, window, w_lo = candidates[0]
+    stats = local_align_stats(strand_frag, window)
+    if stats is None:
+        return None
+    return AlignmentStats(
+        score=stats.score,
+        length=stats.length,
+        matches=stats.matches,
+        mismatches=stats.mismatches,
+        gaps=stats.gaps,
+        gap_opens=stats.gap_opens,
+        query_start=stats.query_start,
+        query_end=stats.query_end,
+        subject_start=w_lo + stats.subject_start,
+        subject_end=w_lo + stats.subject_end,
+    )
 
 
 def compute_pair(

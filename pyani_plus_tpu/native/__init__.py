@@ -18,9 +18,22 @@ import numpy as np
 _DIR = Path(__file__).parent
 _SO = _DIR / "libsketch.so"
 _SRC = _DIR / "sketch.cpp"
+_ALIGN_SO = _DIR / "libalign.so"
+_ALIGN_SRC = _DIR / "align.cpp"
 
 _lib = None
 _tried = False
+_align_lib = None
+_align_tried = False
+
+
+def _build(src: Path, so: Path) -> None:
+    if not so.is_file() or so.stat().st_mtime < src.stat().st_mtime:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", str(src), "-o", str(so)],
+            check=True,
+            capture_output=True,
+        )
 
 
 def _load():
@@ -29,21 +42,7 @@ def _load():
         return _lib
     _tried = True
     try:
-        if not _SO.is_file() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
-            subprocess.run(
-                [
-                    "g++",
-                    "-O3",
-                    "-shared",
-                    "-fPIC",
-                    "-std=c++17",
-                    str(_SRC),
-                    "-o",
-                    str(_SO),
-                ],
-                check=True,
-                capture_output=True,
-            )
+        _build(_SRC, _SO)
         lib = ctypes.CDLL(str(_SO))
         lib.sketch_codes.restype = ctypes.c_int64
         lib.sketch_codes.argtypes = [
@@ -114,3 +113,95 @@ def sketch_codes_native(
             n,
         )
     return out[:count].copy()
+
+
+def _load_align():
+    global _align_lib, _align_tried
+    if _align_lib is not None or _align_tried:
+        return _align_lib
+    _align_tried = True
+    try:
+        _build(_ALIGN_SRC, _ALIGN_SO)
+        lib = ctypes.CDLL(str(_ALIGN_SO))
+        lib.local_align_stats.restype = ctypes.c_int
+        lib.local_align_stats.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.local_align_score.restype = ctypes.c_int32
+        lib.local_align_score.argtypes = lib.local_align_stats.argtypes[:8]
+        _align_lib = lib
+    except Exception as exc:  # pragma: no cover - no compiler
+        logging.getLogger(__package__).debug("native align unavailable: %s", exc)
+        _align_lib = None
+    return _align_lib
+
+
+def local_align_stats_native(  # noqa: PLR0913
+    query: np.ndarray,
+    subject: np.ndarray,
+    reward: int,
+    penalty: int,
+    gap_open: int,
+    gap_extend: int,
+):
+    """Native local alignment stats tuple, or None if unavailable.
+
+    Returns (score, length, matches, mismatches, gaps, gap_opens,
+    q_start, q_end, s_start, s_end) or False when no positive alignment.
+    """
+    lib = _load_align()
+    if lib is None:
+        return None
+    query = np.ascontiguousarray(query, dtype=np.uint8)
+    subject = np.ascontiguousarray(subject, dtype=np.uint8)
+    out = np.zeros(10, dtype=np.int64)
+    ok = lib.local_align_stats(
+        query.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        query.size,
+        subject.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        subject.size,
+        reward,
+        penalty,
+        gap_open,
+        gap_extend,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if not ok:
+        return False
+    return tuple(int(v) for v in out)
+
+
+def local_align_score_native(  # noqa: PLR0913
+    query: np.ndarray,
+    subject: np.ndarray,
+    reward: int,
+    penalty: int,
+    gap_open: int,
+    gap_extend: int,
+) -> int | None:
+    """Best local alignment score only (no traceback), or None."""
+    lib = _load_align()
+    if lib is None:
+        return None
+    query = np.ascontiguousarray(query, dtype=np.uint8)
+    subject = np.ascontiguousarray(subject, dtype=np.uint8)
+    return int(
+        lib.local_align_score(
+            query.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            query.size,
+            subject.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            subject.size,
+            reward,
+            penalty,
+            gap_open,
+            gap_extend,
+        )
+    )

@@ -59,13 +59,27 @@ def local_align_stats(  # noqa: C901, PLR0912
     penalty: int = PENALTY,
     gap_open: int = GAP_OPEN,
     gap_extend: int = GAP_EXTEND,
+    force_numpy: bool = False,
 ) -> AlignmentStats | None:
     """Optimal local alignment of two uint8 code arrays, with statistics.
 
     Codes 0..3 are bases; code 4 (N/ambiguous) never matches anything,
     including another N (BLAST treats unknown residues as mismatches).
     Returns None if no positive-scoring alignment exists.
+
+    Dispatches to the native C++ kernel (bit-identical, ~300x faster)
+    when available; ``force_numpy`` pins the numpy path (parity tests).
     """
+    if not force_numpy:
+        from pyani_plus_tpu.native import local_align_stats_native
+
+        native = local_align_stats_native(
+            query, subject, reward, penalty, gap_open, gap_extend
+        )
+        if native is False:
+            return None
+        if native is not None:
+            return AlignmentStats(*native)
     m, n = int(query.size), int(subject.size)
     if m == 0 or n == 0:
         return None
