@@ -161,6 +161,38 @@ def resume_run(  # noqa: PLR0913, C901
         len(pending),
     )
 
+    # Multi-host sharding: each host owns a static slice of the pair grid
+    # (parallel/tiles.owned_pairs); the content-addressed INSERT OR IGNORE
+    # store makes the merge idempotent, and `resume` sweeps up any pairs
+    # a dead host never computed. Host identity comes from an initialised
+    # jax.distributed runtime or the PYANI_TPU_PROCESS_{INDEX,COUNT} env.
+    import os
+
+    proc_count = int(os.environ.get("PYANI_TPU_PROCESS_COUNT", "0"))
+    proc_index = int(os.environ.get("PYANI_TPU_PROCESS_INDEX", "0"))
+    if not proc_count:
+        try:
+            import jax
+
+            proc_count = jax.process_count()
+            proc_index = jax.process_index()
+        except Exception:  # pragma: no cover - jax unavailable
+            proc_count = 1
+    if proc_count > 1:
+        from pyani_plus_tpu.parallel.tiles import owned_pairs
+
+        index = {h: i for i, h in enumerate(hashes)}
+        mine = {
+            (hashes[q], hashes[s]) for q, s in owned_pairs(n, proc_index, proc_count)
+        }
+        pending &= mine
+        logger.info(
+            "Host %d/%d owns %d of the pending pairs",
+            proc_index,
+            proc_count,
+            len(pending),
+        )
+
     if pending:
         # SLURM sends SIGTERM; convert to KeyboardInterrupt so the
         # graceful-interrupt path runs (ref private_cli.py:816-823)
@@ -195,8 +227,19 @@ def resume_run(  # noqa: PLR0913, C901
             extra_files=extra_files or {},
             flush=flush,
         )
+        # Real profiling (the reference has none -- SURVEY.md section 5):
+        # PYANI_TPU_PROFILE=<dir> captures a jax profiler trace of the
+        # compute phase, viewable in TensorBoard/XProf.
+        profile_dir = os.environ.get("PYANI_TPU_PROFILE")
         try:
-            rows = method.compute(ctx)
+            if profile_dir:
+                import jax
+
+                with jax.profiler.trace(profile_dir):
+                    rows = method.compute(ctx)
+                logger.info("Wrote profiler trace to %s", profile_dir)
+            else:
+                rows = method.compute(ctx)
         except KeyboardInterrupt:
             logger.error("Interrupted; marking run as 'Worker interrupted'")
             run.set_status("Worker interrupted")
@@ -210,6 +253,17 @@ def resume_run(  # noqa: PLR0913, C901
 
     final = run.comparisons_count()
     if final != n * n:
+        if proc_count > 1:
+            # Another host still owns the missing pairs; whoever finishes
+            # last (or a `resume`) completes and caches the run.
+            logger.info(
+                "Host %d/%d done with its share: %d of %d comparisons stored",
+                proc_index,
+                proc_count,
+                final,
+                n * n,
+            )
+            return run.run_id
         msg = (
             f"Run {run.run_id} has {final} of {n}²={n * n} comparisons"
             " after compute -- method returned incomplete results"
