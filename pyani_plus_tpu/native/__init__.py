@@ -20,6 +20,10 @@ _SO = _DIR / "libsketch.so"
 _SRC = _DIR / "sketch.cpp"
 _ALIGN_SO = _DIR / "libalign.so"
 _ALIGN_SRC = _DIR / "align.cpp"
+_SUFFIX_SO = _DIR / "libsuffix.so"
+_SUFFIX_SRC = _DIR / "suffix.cpp"
+_BAND_SO = _DIR / "libband.so"
+_BAND_SRC = _DIR / "band.cpp"
 
 _lib = None
 _tried = False
@@ -205,3 +209,130 @@ def local_align_score_native(  # noqa: PLR0913
             gap_extend,
         )
     )
+
+
+_suffix_lib = None
+_suffix_tried = False
+
+
+def _load_suffix():
+    global _suffix_lib, _suffix_tried
+    if _suffix_lib is not None or _suffix_tried:
+        return _suffix_lib
+    _suffix_tried = True
+    try:
+        _build(_SUFFIX_SRC, _SUFFIX_SO)
+        lib = ctypes.CDLL(str(_SUFFIX_SO))
+        lib.kasai_lcp.restype = None
+        lib.kasai_lcp.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.suffix_array_pd.restype = None
+        lib.suffix_array_pd.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        _suffix_lib = lib
+    except Exception as exc:  # pragma: no cover - no compiler
+        logging.getLogger(__package__).debug("native suffix unavailable: %s", exc)
+        _suffix_lib = None
+    return _suffix_lib
+
+
+def kasai_lcp_native(text: np.ndarray, sa: np.ndarray):
+    """Kasai LCP array via C++, or None if unavailable."""
+    lib = _load_suffix()
+    if lib is None:
+        return None
+    text = np.ascontiguousarray(text, dtype=np.int64)
+    sa = np.ascontiguousarray(sa, dtype=np.int64)
+    lcp = np.zeros(text.size, dtype=np.int64)
+    lib.kasai_lcp(
+        text.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        text.size,
+        lcp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return lcp
+
+
+_band_lib = None
+_band_tried = False
+
+
+def _load_band():
+    global _band_lib, _band_tried
+    if _band_lib is not None or _band_tried:
+        return _band_lib
+    _band_tried = True
+    try:
+        _build(_BAND_SRC, _BAND_SO)
+        lib = ctypes.CDLL(str(_BAND_SO))
+        lib.band_dp.restype = None
+        lib.band_dp.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        _band_lib = lib
+    except Exception as exc:  # pragma: no cover - no compiler
+        logging.getLogger(__package__).debug("native band unavailable: %s", exc)
+        _band_lib = None
+    return _band_lib
+
+
+def band_dp_native(  # noqa: PLR0913
+    a: np.ndarray,
+    b: np.ndarray,
+    band: int,
+    free_end: bool,
+    match: int,
+    mismatch: int,
+    gap: int,
+):
+    """Native banded DP -> (i, j, score, errors, gapcols), or None."""
+    lib = _load_band()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(a, dtype=np.uint8)
+    b = np.ascontiguousarray(b, dtype=np.uint8)
+    out = np.zeros(5, dtype=np.int64)
+    lib.band_dp(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        a.size,
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        b.size,
+        band,
+        1 if free_end else 0,
+        match,
+        mismatch,
+        gap,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return tuple(int(v) for v in out)
+
+
+def suffix_array_native(text: np.ndarray):
+    """Suffix array via native prefix doubling, or None if unavailable."""
+    lib = _load_suffix()
+    if lib is None:
+        return None
+    text = np.ascontiguousarray(text, dtype=np.int64)
+    sa = np.zeros(text.size, dtype=np.int64)
+    lib.suffix_array_pd(
+        text.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        text.size,
+        sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return sa

@@ -35,8 +35,13 @@ def _band_dp(  # noqa: PLR0915
     match: int = MATCH,
     mismatch: int = MISMATCH,
     gap: int = GAP,
+    force_numpy: bool = False,
 ) -> tuple[int, int, int, int, int]:
-    """Banded anchored DP -> (best_i, best_j, best_score, errors, gapcols)."""
+    """Banded anchored DP -> (best_i, best_j, best_score, errors, gapcols).
+
+    Dispatches to the bit-identical native C++ kernel when available
+    (parity-tested); force_numpy pins the numpy path.
+    """
     m, n = int(a.size), int(b.size)
     if m == 0 and n == 0:
         return 0, 0, 0, 0, 0
@@ -44,6 +49,12 @@ def _band_dp(  # noqa: PLR0915
         return 0, n, gap * n, n, n
     if n == 0:
         return m, 0, gap * m, m, m
+    if not force_numpy:
+        from pyani_plus_tpu.native import band_dp_native
+
+        native = band_dp_native(a, b, band, free_end, match, mismatch, gap)
+        if native is not None:
+            return native
 
     width = 2 * band + 1
     offs = np.arange(width)

@@ -14,10 +14,15 @@ import numpy as np
 
 
 def suffix_array(data: np.ndarray) -> np.ndarray:
-    """Suffix array by prefix doubling (numpy argsort passes)."""
+    """Suffix array by prefix doubling (native radix rounds, numpy fallback)."""
     n = data.size
     if n == 0:
         return np.empty(0, np.int64)
+    from pyani_plus_tpu.native import suffix_array_native
+
+    native = suffix_array_native(data)
+    if native is not None:
+        return native
     rank = np.asarray(data, dtype=np.int64)
     idx = np.arange(n, dtype=np.int64)
     k = 1
@@ -48,6 +53,11 @@ def lcp_array(data: np.ndarray, sa: np.ndarray) -> np.ndarray:
     lcp = np.zeros(n, dtype=np.int64)
     if n == 0:
         return lcp
+    from pyani_plus_tpu.native import kasai_lcp_native
+
+    native = kasai_lcp_native(data, sa)
+    if native is not None:
+        return native
     rank = np.empty(n, dtype=np.int64)
     rank[sa] = np.arange(n)
     h = 0
