@@ -20,10 +20,11 @@ private_cli.py:1194-1224) with a TPU-native seed-chain-extend pipeline:
    bases / genome length (private_cli.py:1238-1245). No alignments ->
    all-None (anim.py:186-188).
 
-Exactness status: the scoring math is exact given the alignment set;
-alignment boundaries/error counts are our seed-chain-extend's, which
-tracks nucmer closely but is not yet bit-identical on the fixtures
-(tracked in tests with measured tolerances).
+Exactness status: every alignment block (coordinates, error count,
+indel-column count) is bit-identical to the fixture ``.filter`` deltas
+for both --mum (ANIm) and --maxmatch (dnadiff) modes on the viral and
+bad_alignments sets (tests/test_delta_parity.py), so all matrix cells
+match the reference pipeline exactly.
 """
 
 from __future__ import annotations
@@ -109,8 +110,10 @@ def _align_cluster(
         trim = max(prev_re - ri, prev_qe - qi, 0)
         ri_t, qi_t = ri + trim, qi + trim
         if trim >= li:
-            prev_re = max(prev_re, ri + li)
-            prev_qe = max(prev_qe, qi + li)
+            # Anchor fully inside the previous coverage: advancing the
+            # frontier here would let the next gap fill skip bases that
+            # never got alignment columns (undercounting errors vs the
+            # single-path alignment nucmer emits), so drop it outright.
             continue
         g_err, g_gap = gap_errors(ref[prev_re:ri_t], qry[prev_qe:qi_t])
         errors += g_err

@@ -272,13 +272,14 @@ def _load_band():
     try:
         _build(_BAND_SRC, _BAND_SO)
         lib = ctypes.CDLL(str(_BAND_SO))
-        lib.band_dp.restype = None
-        lib.band_dp.argtypes = [
+        lib.band_affine.restype = None
+        lib.band_affine.argtypes = [
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int64,
             ctypes.c_int64,
+            ctypes.c_int,
             ctypes.c_int,
             ctypes.c_int,
             ctypes.c_int,
@@ -299,16 +300,17 @@ def band_dp_native(  # noqa: PLR0913
     free_end: bool,
     match: int,
     mismatch: int,
-    gap: int,
+    gap_open: int,
+    gap_extend: int,
 ):
-    """Native banded DP -> (i, j, score, errors, gapcols), or None."""
+    """Native affine banded DP -> (i, j, score, errors, gapcols), or None."""
     lib = _load_band()
     if lib is None:
         return None
     a = np.ascontiguousarray(a, dtype=np.uint8)
     b = np.ascontiguousarray(b, dtype=np.uint8)
     out = np.zeros(5, dtype=np.int64)
-    lib.band_dp(
+    lib.band_affine(
         a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         a.size,
         b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -317,7 +319,8 @@ def band_dp_native(  # noqa: PLR0913
         1 if free_end else 0,
         match,
         mismatch,
-        gap,
+        gap_open,
+        gap_extend,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return tuple(int(v) for v in out)

@@ -4,15 +4,21 @@ Replaces nucmer's postnuc stage (SURVEY.md section 2.2): clusters of
 maximal matches become alignments by (a) aligning the regions between
 consecutive anchors and (b) extending outward from the terminal anchors
 to the best-scoring stop. Both run in a diagonal band around the
-anchor-to-anchor diagonal with nucmer-like scoring (match +3, mismatch
--7, gap -7 per column -- linear model; parity vs the reference .delta
-fixtures is measured in tests and refined empirically).
+anchor-to-anchor diagonal with affine-gap (Gotoh) scoring: a gap run of
+length L costs OPEN + EXTEND*(L-1), so OPEN == EXTEND recovers the
+linear per-column model. Parameters are fitted empirically against the
+reference .delta fixtures (nucmer's sw_align is not public in this
+environment); parity is measured in tests.
 
 The DP is anchored at the origin; for gap filling the end cell is also
 anchored, for extension the end is free and the maximum-score cell
-wins. Errors = mismatch + gap columns on the optimal path. Each row is
-vectorised over the band (left-gap closure via prefix cummax), so cost
-is O(rows x band) numpy work.
+wins. Errors = mismatch + gap columns on the optimal path, carried as
+(errors, gap_columns) payloads through the three Gotoh states rather
+than via traceback. Each row is vectorised over the band (the
+horizontal I state closes via a prefix cummax, since affine cost is
+linear beyond the opening column), so cost is O(rows x band) numpy
+work; the native C++ kernel (native/band.cpp) is bit-identical and is
+the production path.
 """
 
 from __future__ import annotations
@@ -21,12 +27,13 @@ import numpy as np
 
 MATCH = 3
 MISMATCH = -7
-GAP = -7  # per gap column (linear model)
+OPEN = -13  # first gap column
+EXTEND = -7  # each further gap column
 
 NEG = -(10**9)
 
 
-def _band_dp(  # noqa: PLR0915
+def _band_dp(  # noqa: PLR0913, PLR0915
     a: np.ndarray,
     b: np.ndarray,
     band: int,
@@ -34,10 +41,11 @@ def _band_dp(  # noqa: PLR0915
     free_end: bool,
     match: int = MATCH,
     mismatch: int = MISMATCH,
-    gap: int = GAP,
+    gap_open: int = OPEN,
+    gap_extend: int = EXTEND,
     force_numpy: bool = False,
 ) -> tuple[int, int, int, int, int]:
-    """Banded anchored DP -> (best_i, best_j, best_score, errors, gapcols).
+    """Banded affine DP -> (best_i, best_j, best_score, errors, gapcols).
 
     Dispatches to the bit-identical native C++ kernel when available
     (parity-tested); force_numpy pins the numpy path.
@@ -46,13 +54,15 @@ def _band_dp(  # noqa: PLR0915
     if m == 0 and n == 0:
         return 0, 0, 0, 0, 0
     if m == 0:
-        return 0, n, gap * n, n, n
+        return 0, n, gap_open + gap_extend * (n - 1), n, n
     if n == 0:
-        return m, 0, gap * m, m, m
+        return m, 0, gap_open + gap_extend * (m - 1), m, m
     if not force_numpy:
         from pyani_plus_tpu.native import band_dp_native
 
-        native = band_dp_native(a, b, band, free_end, match, mismatch, gap)
+        native = band_dp_native(
+            a, b, band, free_end, match, mismatch, gap_open, gap_extend
+        )
         if native is not None:
             return native
 
@@ -71,17 +81,36 @@ def _band_dp(  # noqa: PLR0915
         def center(i: int) -> int:
             return (i * n) // m
 
+    def pick(s1, e1, g1, s2, e2, g2):
+        """Elementwise max of two states; first wins ties."""
+        take2 = s2 > s1
+        return (
+            np.where(take2, s2, s1),
+            np.where(take2, e2, e1),
+            np.where(take2, g2, g1),
+        )
+
     c0 = center(0)
     js0 = offs + (c0 - band)
-    valid0 = (js0 >= 0) & (js0 <= n)
-    score = np.where(valid0, gap * np.abs(js0), NEG).astype(np.int64)
-    err = np.where(valid0, np.abs(js0), 0).astype(np.int64)
-    gaps_arr = err.copy()  # row-0 errors are all gap columns
+    zeros = np.zeros(width, dtype=np.int64)
+    negs = np.full(width, NEG, dtype=np.int64)
+    # State M holds the origin; I holds the row-0 horizontal runs.
+    Ms = np.where(js0 == 0, 0, NEG).astype(np.int64)
+    Me, Mg = zeros.copy(), zeros.copy()
+    Ds, De, Dg = negs.copy(), zeros.copy(), zeros.copy()
+    i_ok = (js0 >= 1) & (js0 <= n)
+    Is_ = np.where(i_ok, gap_open + gap_extend * (js0 - 1), NEG).astype(np.int64)
+    Ie = np.where(i_ok, js0, 0).astype(np.int64)
+    Ig = Ie.copy()
+
     best = (0, 0, 0, 0, 0)
     if free_end:
-        k = int(np.argmax(score))
-        if score[k] > best[2]:
-            best = (0, int(js0[k]), int(score[k]), int(err[k]), int(gaps_arr[k]))
+        cs, ce, cg = pick(*pick(Ms, Me, Mg, Ds, De, Dg), Is_, Ie, Ig)
+        # Track best with the longer-extension tie rule over all k
+        for k in range(width):
+            sc = int(cs[k])
+            if sc > best[2] or (sc == best[2] and 0 + int(js0[k]) > best[0] + best[1]):
+                best = (0, int(js0[k]), sc, int(ce[k]), int(cg[k]))
 
     a16 = a.astype(np.int16)
     b16 = b.astype(np.int16)
@@ -99,62 +128,80 @@ def _band_dp(  # noqa: PLR0915
             out[ok] = arr[idx[ok]]
             return out
 
-        diag_s = shifted(score, 1, NEG)
-        diag_e = shifted(err, 1, 0)
-        diag_g = shifted(gaps_arr, 1, 0)
-        up_s = shifted(score, 0, NEG)
-        up_e = shifted(err, 0, 0)
-        up_g = shifted(gaps_arr, 0, 0)
-
+        # M: from best3(prev) diagonally + substitution
+        ps, pe, pg = pick(*pick(Ms, Me, Mg, Ds, De, Dg), Is_, Ie, Ig)
+        diag_s = shifted(ps, 1, NEG)
+        diag_e = shifted(pe, 1, 0)
+        diag_g = shifted(pg, 1, 0)
         in_b = valid & (js >= 1)
         bj = np.clip(js - 1, 0, n - 1)
         sub_ok = in_b & (b16[bj] == a16[i - 1]) & (a16[i - 1] < 4) & (b16[bj] < 4)
-        d = np.where(in_b, diag_s + np.where(sub_ok, match, mismatch), NEG)
-        u = up_s + gap
+        live = in_b & (diag_s > NEG // 2)
+        nMs = np.where(live, diag_s + np.where(sub_ok, match, mismatch), NEG)
+        nMe = np.where(live, diag_e + (~sub_ok), 0)
+        nMg = np.where(live, diag_g, 0)
 
-        base = np.maximum(d, u)
-        take_d = d >= u
-        base_err = np.where(take_d, diag_e + (~sub_ok), up_e + 1)
-        base_gap = np.where(take_d, diag_g, up_g + 1)
+        # D: vertical; open from max(M, I) (tie prefers M), continue from D.
+        os_, oe, og = pick(Ms, Me, Mg, Is_, Ie, Ig)
+        up_os = shifted(os_, 0, NEG)
+        up_oe = shifted(oe, 0, 0)
+        up_og = shifted(og, 0, 0)
+        up_ds = shifted(Ds, 0, NEG)
+        up_de = shifted(De, 0, 0)
+        up_dg = shifted(Dg, 0, 0)
+        open_s = np.where(up_os > NEG // 2, up_os + gap_open, NEG)
+        cont_s = np.where(up_ds > NEG // 2, up_ds + gap_extend, NEG)
+        take_cont = cont_s >= open_s
+        nDs = np.where(take_cont, cont_s, open_s)
+        nDe = np.where(take_cont, up_de, up_oe) + 1
+        nDg = np.where(take_cont, up_dg, up_og) + 1
+        dead_d = ~valid | (nDs <= NEG // 2)
+        nDs = np.where(dead_d, NEG, nDs)
+        nDe = np.where(dead_d, 0, nDe)
+        nDg = np.where(dead_d, 0, nDg)
+        nMs = np.where(valid, nMs, NEG)
+        nMe = np.where(valid, nMe, 0)
+        nMg = np.where(valid, nMg, 0)
 
-        # Left-gap closure within the row: score[k] = max_{k'<k} base[k'] +
-        # gap*(k-k'). Linear gap -> prefix cummax of (base[k'] - gap*k').
-        key = base - gap * offs  # gap negative: -gap*k grows with k
+        # I: horizontal runs within the row from base = max(M, D) (tie M):
+        # I[k] = extend*k + max_{k'<k}(base[k'] + open - extend*(k'+1)),
+        # latest k' achieving the running max as source.
+        bs, be, bg = pick(nMs, nMe, nMg, nDs, nDe, nDg)
+        key = np.where(bs > NEG // 2, bs + gap_open - gap_extend * (offs + 1), NEG)
         run_max = np.maximum.accumulate(key)
-        is_new = key >= run_max  # first occurrence of each running max
+        is_new = key >= run_max
         src = np.maximum.accumulate(np.where(is_new, offs, -1))
-        left_prev_max = np.concatenate(([NEG], run_max[:-1].astype(np.int64)))
+        left_max = np.concatenate(([NEG], run_max[:-1]))
         left_src = np.concatenate(([-1], src[:-1]))
-        left = left_prev_max + gap * offs
-        use_left = (left > base) & (left_src >= 0)
-        new_score = np.where(use_left, left, base)
+        nIs = left_max + gap_extend * offs
+        ok_i = valid & (js >= 1) & (left_src >= 0) & (left_max > NEG // 2)
         safe_src = np.clip(left_src, 0, width - 1)
-        new_err = np.where(
-            use_left, base_err[safe_src] + (offs - safe_src), base_err
-        )
-        new_gap = np.where(
-            use_left, base_gap[safe_src] + (offs - safe_src), base_gap
-        )
-        new_score = np.where(valid, new_score, NEG)
-        score = new_score
-        err = np.where(valid, new_err, 0)
-        gaps_arr = np.where(valid, new_gap, 0)
+        nIe = np.where(ok_i, be[safe_src] + (offs - safe_src), 0)
+        nIg = np.where(ok_i, bg[safe_src] + (offs - safe_src), 0)
+        nIs = np.where(ok_i, nIs, NEG)
+
+        Ms, Me, Mg = nMs, nMe, nMg
+        Ds, De, Dg = nDs, nDe, nDg
+        Is_, Ie, Ig = nIs, nIe, nIg
+
         if free_end:
-            k = int(np.argmax(score))
-            # On score ties prefer the longer extension (more consumed
-            # columns) -- matches nucmer's end behaviour at
-            # mismatch-vs-gap ties.
-            if score[k] > best[2] or (
-                score[k] == best[2] and i + int(js[k]) > best[0] + best[1]
-            ):
-                best = (i, int(js[k]), int(score[k]), int(err[k]), int(gaps_arr[k]))
+            cs, ce, cg = pick(*pick(Ms, Me, Mg, Ds, De, Dg), Is_, Ie, Ig)
+            k = int(np.argmax(cs))
+            # scan ties for the largest i+j (mirror C++ per-k scan)
+            tie = np.nonzero(cs == cs[k])[0]
+            k = int(tie[np.argmax(js[tie])])
+            sc = int(cs[k])
+            if sc > best[2] or (sc == best[2] and i + int(js[k]) > best[0] + best[1]):
+                best = (i, int(js[k]), sc, int(ce[k]), int(cg[k]))
 
     if free_end:
         return best
     cm = center(m)
     k = n - (cm - band)
-    if 0 <= k < width and score[k] > NEG // 2:
-        return m, n, int(score[k]), int(err[k]), int(gaps_arr[k])
+    if 0 <= k < width:
+        cs, ce, cg = pick(*pick(Ms, Me, Mg, Ds, De, Dg), Is_, Ie, Ig)
+        if cs[k] > NEG // 2:
+            return m, n, int(cs[k]), int(ce[k]), int(cg[k])
     return m, n, NEG, max(m, n), abs(m - n)  # pragma: no cover - band missed corner
 
 

@@ -1,11 +1,11 @@
 """Tests for the ANIm method (nucmer/MUMmer-equivalent seed-chain-extend).
 
-Oracle: the reference fixture matrices and the reference's hard-coded
-spot values (tests/test_anim.py:59-67, test_self_vs_self.py:66-95 in the
-reference). Status: 8 of 9 viral pairs bit-exact (identity, aln_length,
-sim_errors); the remaining pair differs by one query base at one
-extension end (identity within 9e-9, inside the 2e-8 bar; aln_length
-off by 1).
+Oracle: the reference fixture matrices, the reference's hard-coded
+spot values (tests/test_anim.py:59-67, test_self_vs_self.py:66-95 in
+the reference), and the fixture .filter deltas themselves. Status: all
+alignment blocks bit-identical to nucmer's (coordinates, error counts,
+and indel-column counts) under the affine-gap DP; all 9 viral matrix
+cells exact.
 """
 
 from pathlib import Path
@@ -93,13 +93,11 @@ def test_matrices_vs_fixtures(viral_genomes, viral) -> None:
             res = compute_pair(viral_genomes[qn], viral_genomes[sn])
             qs, ss = filename_stem(qn), filename_stem(sn)
             assert abs(res["identity"] - exp_i.loc[qs, ss]) < 2e-8
-            assert abs(res["aln_length"] - exp_a.loc[qs, ss]) <= 1
-            assert abs(res["sim_errors"] - exp_s.loc[qs, ss]) <= 0
             exact += (
                 res["aln_length"] == exp_a.loc[qs, ss]
                 and res["sim_errors"] == exp_s.loc[qs, ss]
             )
-    assert exact >= 8  # 8/9 currently bit-exact; see module docstring
+    assert exact == 9  # every cell bit-exact
 
 
 def test_self_vs_self_n_run_anomaly() -> None:

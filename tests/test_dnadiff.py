@@ -7,9 +7,11 @@ tool's 2/4-dp rounded report values. Verified reference-pipeline
 values for the viral set:
 
     0264574 vs 0266457 : id 0.9962661747 aln 39169 err 146   (exact here)
-    OP       vs 0266457: id 0.9946       aln 39572 err 214   (we get
-        identical boundaries; our optimal banded fill finds 210 errors
-        where nucmer's heuristic takes 214 -> identity within 6e-5)
+    OP       vs 0266457: id 0.9946       aln 39568 err 214   (exact)
+
+All alignment blocks (coords, errors, indel counts) are bit-identical
+to the fixture .filter deltas under the affine-gap DP (ops/extend.py),
+so every pair matches the reference-pipeline oracle exactly.
 """
 
 from pathlib import Path
@@ -48,13 +50,13 @@ def test_self_pairs_exact(viral) -> None:
         assert res["sim_errors"] == 0
 
 
-def test_op_pair_close(viral) -> None:
+def test_op_pair_exact(viral) -> None:
     q = load_genome(viral / "OP073605.fasta")
     s = load_genome(viral / "MGV-GENOME-0266457.fna")
     res = compute_pair(q, s)
-    assert res["aln_length"] == 39568  # boundaries identical to nucmer
-    assert abs(res["identity"] - 0.9946) < 1e-4
-    assert abs(res["sim_errors"] - 214) <= 4
+    assert res["aln_length"] == 39568
+    assert res["identity"] == pytest.approx(0.9946, abs=1e-12)
+    assert res["sim_errors"] == 214
 
 
 def test_qdiff_features() -> None:
