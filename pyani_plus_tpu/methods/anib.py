@@ -22,6 +22,7 @@ the reference:
 
 from __future__ import annotations
 
+import os
 from math import exp, log
 
 import numpy as np
@@ -70,17 +71,14 @@ def _min_score(qlen: int, subject_total: int, evalue: float = EVALUE) -> float:
     return log(KA_K * search_space / evalue) / KA_LAMBDA
 
 
-def best_fragment_alignment(
+def fragment_candidates(
     frag: np.ndarray,
     subject_records: list[np.ndarray],
     seed_indexes: list[SeedIndex],
-) -> AlignmentStats | None:
-    """Best local alignment of one fragment over all subject sequences/strands."""
-    from pyani_plus_tpu.native import local_align_score_native
-    from pyani_plus_tpu.ops.dp import GAP_EXTEND, GAP_OPEN, PENALTY, REWARD
-
+) -> list[tuple[np.ndarray, np.ndarray, int]]:
+    """Candidate (strand_frag, window, w_lo) alignments of one fragment."""
     frag_rc = complement_codes(frag)[::-1].copy()
-    candidates = []  # (strand_frag, window, w_lo)
+    candidates = []
     for codes, index in zip(subject_records, seed_indexes):
         for strand_frag in (frag, frag_rc):
             q_pos, s_pos = index.hits(strand_frag)
@@ -90,23 +88,98 @@ def best_fragment_alignment(
                     codes.size, diag_hi + strand_frag.size + WINDOW_MARGIN
                 )
                 candidates.append((strand_frag, codes[w_lo:w_hi], w_lo))
+    return candidates
+
+
+def _score_host(pairs: list[tuple[np.ndarray, np.ndarray]]) -> list[int]:
+    """Score-only pass per candidate via the native rolling-row DP."""
+    from pyani_plus_tpu.native import local_align_score_native
+    from pyani_plus_tpu.ops.dp import GAP_EXTEND, GAP_OPEN, PENALTY, REWARD
+
+    scores = []
+    for strand_frag, window in pairs:
+        score = local_align_score_native(
+            strand_frag, window, REWARD, PENALTY, GAP_OPEN, GAP_EXTEND
+        )
+        if score is None:  # pragma: no cover - no compiler
+            stats = local_align_stats(strand_frag, window)
+            score = 0 if stats is None else stats.score
+        scores.append(int(score))
+    return scores
+
+
+DEVICE_BATCH = 128  # candidate pairs per device call (fixed compile shape)
+MAX_DEVICE_WINDOW = 32768  # larger windows fall back to the host scorer
+
+
+def use_device() -> bool:
+    """Batched device scoring on by default off-CPU; env overridable."""
+    flag = os.environ.get("PYANI_TPU_ANIB_DEVICE")
+    if flag in ("0", "1"):
+        return flag == "1"
+    try:
+        import jax
+
+        return jax.default_backend() != "cpu"
+    except Exception:  # pragma: no cover - no jax
+        return False
+
+
+def _score_device(pairs: list[tuple[np.ndarray, np.ndarray]]) -> list[int]:
+    """Score all candidate (fragment, window) pairs in padded device batches.
+
+    Pairs bucket by window length (next power of two, >=1024) so the jit
+    kernel compiles for a handful of static (B, M, N) shapes; each bucket
+    fills fixed-size batches of DEVICE_BATCH rows padded with PAD_CODE
+    (never matches, so padding cannot change a local-alignment score --
+    parity with the host scorer is tested). Oversized windows score on
+    host.
+    """
+    from pyani_plus_tpu.ops.dp_jax import PAD_CODE, batch_local_align_scores
+
+    scores = [0] * len(pairs)
+    frag_m = max(f.size for f, _w in pairs)
+    m = ((frag_m + 255) // 256) * 256
+    buckets: dict[int, list[int]] = {}
+    host_idx = []
+    for i, (_f, w) in enumerate(pairs):
+        n = 1024
+        while n < w.size:
+            n *= 2
+        if n > MAX_DEVICE_WINDOW:
+            host_idx.append(i)
+        else:
+            buckets.setdefault(n, []).append(i)
+    for n, idxs in sorted(buckets.items()):
+        for lo in range(0, len(idxs), DEVICE_BATCH):
+            chunk = idxs[lo : lo + DEVICE_BATCH]
+            q = np.full((DEVICE_BATCH, m), PAD_CODE, np.uint8)
+            s = np.full((DEVICE_BATCH, n), PAD_CODE, np.uint8)
+            for row, i in enumerate(chunk):
+                frag, window = pairs[i]
+                q[row, : frag.size] = frag
+                s[row, : window.size] = window
+            out = np.asarray(batch_local_align_scores(q, s))
+            for row, i in enumerate(chunk):
+                scores[i] = int(out[row])
+    if host_idx:  # pragma: no cover - giant window corner
+        for i, sc in zip(host_idx, _score_host([pairs[i] for i in host_idx])):
+            scores[i] = sc
+    return scores
+
+
+def _best_stats(
+    candidates: list[tuple[np.ndarray, np.ndarray, int]],
+    scores: list[int] | None,
+) -> AlignmentStats | None:
+    """Exact stats DP on the winning candidate (first max on ties)."""
     if not candidates:
         return None
-    if len(candidates) > 1:
-        # Cheap score-only pass (native rolling-row DP) picks the winner;
-        # the full-stats DP then runs once. Same result: scores identical.
-        scores = []
-        for strand_frag, window, _w_lo in candidates:
-            score = local_align_score_native(
-                strand_frag, window, REWARD, PENALTY, GAP_OPEN, GAP_EXTEND
-            )
-            if score is None:  # pragma: no cover - no compiler
-                stats = local_align_stats(strand_frag, window)
-                score = 0 if stats is None else stats.score
-            scores.append(score)
+    if scores is not None and len(candidates) > 1:
         best_idx = max(range(len(candidates)), key=lambda i: scores[i])
-        candidates = [candidates[best_idx]]
-    strand_frag, window, w_lo = candidates[0]
+    else:
+        best_idx = 0
+    strand_frag, window, w_lo = candidates[best_idx]
     stats = local_align_stats(strand_frag, window)
     if stats is None:
         return None
@@ -124,20 +197,65 @@ def best_fragment_alignment(
     )
 
 
+def best_fragment_alignment(
+    frag: np.ndarray,
+    subject_records: list[np.ndarray],
+    seed_indexes: list[SeedIndex],
+) -> AlignmentStats | None:
+    """Best local alignment of one fragment over all subject sequences/strands."""
+    candidates = fragment_candidates(frag, subject_records, seed_indexes)
+    scores = None
+    if len(candidates) > 1:
+        scores = _score_host([(f, w) for f, w, _lo in candidates])
+    return _best_stats(candidates, scores)
+
+
 def compute_pair(
     query: Genome,
     subject: Genome,
     seed_indexes: list[SeedIndex],
     fragsize: int,
 ) -> tuple[float | None, int | None, int | None]:
-    """(identity, aln_length, sim_errors) for one directed pair."""
+    """(identity, aln_length, sim_errors) for one directed pair.
+
+    Candidate windows for every fragment are enumerated first, then all
+    fragments with more than one candidate are scored in one sweep --
+    padded fixed-shape device batches when a TPU/GPU backend is up
+    (ops/dp_jax.py), the native C++ rolling-row DP otherwise. The exact
+    stats DP runs once per fragment on the winning window only, so the
+    device path changes throughput, never results (same scores, same
+    first-max tie rule).
+    """
     subject_records = [rec.codes for rec in subject.records]
+    frags = fragment_genome(query, fragsize)
+    per_frag = [
+        fragment_candidates(frag, subject_records, seed_indexes)
+        for frag in frags
+    ]
+    flat: list[tuple[np.ndarray, np.ndarray]] = []
+    spans = []  # (start, count) into flat per fragment, or None
+    for cands in per_frag:
+        if len(cands) > 1:
+            spans.append((len(flat), len(cands)))
+            flat.extend((f, w) for f, w, _lo in cands)
+        else:
+            spans.append(None)
+    flat_scores = (
+        (_score_device(flat) if use_device() else _score_host(flat))
+        if flat
+        else []
+    )
+
     total_pid_100 = 0.0
     total_count = 0
     total_aln_length = 0
     total_sim_errors = 0
-    for frag in fragment_genome(query, fragsize):
-        stats = best_fragment_alignment(frag, subject_records, seed_indexes)
+    for frag, cands, span in zip(frags, per_frag, spans):
+        scores = None
+        if span is not None:
+            start, count = span
+            scores = flat_scores[start : start + count]
+        stats = _best_stats(cands, scores)
         if stats is None:
             continue
         if stats.score < _min_score(frag.size, subject.length):

@@ -47,6 +47,51 @@ def _row_step(carry, q_code, *, reward, penalty, go_ge, ge, jidx, neg):
     return (h, f, best, s_codes), None
 
 
+_KERNEL_CACHE: dict[tuple[int, int, int, int], object] = {}
+
+
+def _get_kernel(reward: int, penalty: int, gap_open: int, gap_extend: int):
+    """Jitted batch scorer for one scoring-parameter set.
+
+    One persistent jit per parameter set: XLA caches a compiled
+    executable per input shape, so bucketing callers to a small set of
+    padded (B, M, N) shapes amortises compilation across batches.
+    """
+    key = (reward, penalty, gap_open, gap_extend)
+    fn = _KERNEL_CACHE.get(key)
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+
+        def batch(queries, subjects):
+            n = subjects.shape[1]
+            neg = jnp.int32(-(10**6))
+            jidx = jnp.arange(1, n + 1, dtype=jnp.int32)
+            step = partial(
+                _row_step,
+                reward=jnp.int32(reward),
+                penalty=jnp.int32(penalty),
+                go_ge=jnp.int32(gap_open + gap_extend),
+                ge=jnp.int32(gap_extend),
+                jidx=jidx,
+                neg=neg,
+            )
+
+            def one_pair(q_row, s_row):
+                h0 = jnp.zeros((n,), jnp.int32)
+                f0 = jnp.full((n,), neg, jnp.int32)
+                (_, _, best, _), _ = jax.lax.scan(
+                    lambda c, q: step(c, q), (h0, f0, jnp.int32(0), s_row), q_row
+                )
+                return best
+
+            return jax.vmap(one_pair)(queries, subjects)
+
+        fn = jax.jit(batch)
+        _KERNEL_CACHE[key] = fn
+    return fn
+
+
 def batch_local_align_scores(
     queries: np.ndarray,  # (B, M) uint8 codes, padded with PAD_CODE
     subjects: np.ndarray,  # (B, N) uint8 codes, padded with PAD_CODE
@@ -57,32 +102,9 @@ def batch_local_align_scores(
     gap_extend: int = GAP_EXTEND,
 ):
     """Best local alignment score for each (query, subject) row pair."""
-    import jax
     import jax.numpy as jnp
 
     queries = jnp.asarray(queries, dtype=jnp.int32)
     subjects = jnp.asarray(subjects, dtype=jnp.int32)
-    b, m = queries.shape
-    _, n = subjects.shape
-    neg = jnp.int32(-(10**6))
-    jidx = jnp.arange(1, n + 1, dtype=jnp.int32)
-
-    step = partial(
-        _row_step,
-        reward=jnp.int32(reward),
-        penalty=jnp.int32(penalty),
-        go_ge=jnp.int32(gap_open + gap_extend),
-        ge=jnp.int32(gap_extend),
-        jidx=jidx,
-        neg=neg,
-    )
-
-    def one_pair(q_row, s_row):
-        h0 = jnp.zeros((n,), jnp.int32)
-        f0 = jnp.full((n,), neg, jnp.int32)
-        (h, f, best, _), _ = jax.lax.scan(
-            lambda c, q: step(c, q), (h0, f0, jnp.int32(0), s_row), q_row
-        )
-        return best
-
-    return jax.jit(jax.vmap(one_pair))(queries, subjects)
+    fn = _get_kernel(reward, penalty, gap_open, gap_extend)
+    return fn(queries, subjects)

@@ -73,3 +73,24 @@ def test_pair_summary_matches_doctest_values(viral) -> None:
     assert sim_errors == 215
     assert round(100 * identity, 1) == 99.5
     assert abs(identity - 0.9945938462) < 2e-8
+
+
+def test_device_batched_scores_match_host(viral, monkeypatch) -> None:
+    """The padded device batch path picks the same winners as the host path.
+
+    Forces the dp_jax bucketed batch scorer on the CPU backend and
+    compares the full pair summary against the host native scorer --
+    scores are integer-identical, so results must be too.
+    """
+    from pyani_plus_tpu.genomes import load_genome
+    from pyani_plus_tpu.methods.anib import FRAGSIZE, compute_pair
+    from pyani_plus_tpu.ops.seeds import SeedIndex
+
+    q = load_genome(viral / "MGV-GENOME-0264574.fas")
+    s = load_genome(viral / "MGV-GENOME-0266457.fna")
+    idx = [SeedIndex(rec.codes) for rec in s.records]
+    monkeypatch.setenv("PYANI_TPU_ANIB_DEVICE", "0")
+    host = compute_pair(q, s, idx, FRAGSIZE)
+    monkeypatch.setenv("PYANI_TPU_ANIB_DEVICE", "1")
+    device = compute_pair(q, s, idx, FRAGSIZE)
+    assert device == host
