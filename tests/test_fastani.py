@@ -113,3 +113,33 @@ def test_no_overlap_returns_none() -> None:
     g = Genome(md5="x" * 32, path=Path("x.fasta"), records=[SequenceRecord(b"x", encode_sequence(a))])
     res = compute_pair(g, index, len(b), 3000, 16, 0.2)
     assert res is None  # random sequences share no mapped fragments
+
+
+def test_bacterial_divergent_pair_tolerance() -> None:
+    """Calibrated CI acceptance on a divergent bacterial pair.
+
+    fastANI reports 82.9124 with 877/1825 matched fragments for
+    NC_010338 vs NC_002696 (bacterial fixture intermediates); with the
+    point-estimate gate we kept only 738 at mean 84.5. The CI gate must
+    stay within the measured residue (<=0.45 ANI points, counts within
+    ~12%) -- the remainder is fastANI's vendored-MashMap L2 evaluation
+    detail, not recoverable from its outputs (see CLAUDE.md).
+    """
+    d = Path("/root/reference/tests/fixtures/bacterial_example")
+    if not d.is_dir():
+        pytest.skip("reference fixtures not available")
+    from pyani_plus_tpu.genomes import decode_sequence, load_genome
+    from pyani_plus_tpu.methods.fastani import compute_pair
+    from pyani_plus_tpu.ops.fastani_map import FRAG_LEN, KMER_SIZE, RefIndex
+
+    subject = load_genome(d / "NC_002696.fasta.gz")
+    query = load_genome(d / "NC_010338.fna.gz")
+    index = RefIndex.build(
+        [decode_sequence(r.codes) for r in subject.records]
+    )
+    ani, matches, total = compute_pair(
+        query, index, subject.length, FRAG_LEN, KMER_SIZE, 0.2
+    )
+    assert total == 1825
+    assert abs(ani - 82.9124) < 0.45
+    assert abs(matches - 877) < 105
