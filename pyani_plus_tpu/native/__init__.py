@@ -339,3 +339,107 @@ def suffix_array_native(text: np.ndarray):
         sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return sa
+
+
+_MM2_SO = _DIR / "libmm2.so"
+_MM2_SRC = _DIR / "mm2.cpp"
+_mm2_lib = None
+_mm2_tried = False
+
+
+def _load_mm2():
+    global _mm2_lib, _mm2_tried
+    if _mm2_lib is not None or _mm2_tried:
+        return _mm2_lib
+    _mm2_tried = True
+    try:
+        _build(_MM2_SRC, _MM2_SO)
+        lib = ctypes.CDLL(str(_MM2_SO))
+        lib.mm2_sketch.restype = ctypes.c_int64
+        lib.mm2_sketch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.mm2_chain_dp.restype = None
+        lib.mm2_chain_dp.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_float,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        _mm2_lib = lib
+    except Exception as exc:  # pragma: no cover - no compiler
+        logging.getLogger(__package__).debug("native mm2 unavailable: %s", exc)
+        _mm2_lib = None
+    return _mm2_lib
+
+
+def mm2_sketch_native(codes: np.ndarray, k: int, w: int):
+    """minimap2 mm_sketch -> (hashes, end_positions, strands), or None."""
+    lib = _load_mm2()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    n = codes.size
+    out_h = np.empty(n, dtype=np.uint64)
+    out_p = np.empty(n, dtype=np.int32)
+    out_s = np.empty(n, dtype=np.uint8)
+    count = lib.mm2_sketch(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n,
+        k,
+        w,
+        out_h.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        out_p.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_s.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out_h[:count], out_p[:count], out_s[:count]
+
+
+def mm2_chain_dp_native(  # noqa: PLR0913
+    ax: np.ndarray,
+    ay: np.ndarray,
+    q_span: int,
+    max_dist_x: int,
+    max_dist_y: int,
+    bw: int,
+    max_skip: int = 25,
+    max_iter: int = 5000,
+):
+    """minimap2 mm_chain_dp scores -> (f, p), or None."""
+    lib = _load_mm2()
+    if lib is None:
+        return None
+    ax = np.ascontiguousarray(ax, dtype=np.int64)
+    ay = np.ascontiguousarray(ay, dtype=np.int32)
+    n = ax.size
+    f = np.zeros(n, dtype=np.int32)
+    p = np.full(n, -1, dtype=np.int64)
+    lib.mm2_chain_dp(
+        ax.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ay.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n,
+        q_span,
+        max_dist_x,
+        max_dist_y,
+        bw,
+        max_skip,
+        max_iter,
+        float(q_span),
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return f, p
