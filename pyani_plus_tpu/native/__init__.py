@@ -284,6 +284,7 @@ def _load_band():
             ctypes.c_int,
             ctypes.c_int,
             ctypes.c_int,
+            ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
         ]
         _band_lib = lib
@@ -302,6 +303,7 @@ def band_dp_native(  # noqa: PLR0913
     mismatch: int,
     gap_open: int,
     gap_extend: int,
+    stop_rows: int = 0,
 ):
     """Native affine banded DP -> (i, j, score, errors, gapcols), or None."""
     lib = _load_band()
@@ -321,6 +323,7 @@ def band_dp_native(  # noqa: PLR0913
         mismatch,
         gap_open,
         gap_extend,
+        stop_rows,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return tuple(int(v) for v in out)

@@ -39,9 +39,14 @@ inline Cell best3(const Cell &m, const Cell &d, const Cell &i) {
 extern "C" {
 
 // out[5] = {best_i, best_j, best_score, errors, gapcols}
+// stop_rows: free-end early termination -- give up after this many rows
+// without a best-score improvement (0 = never). nucmer's Extend_Alignment
+// abandons an extension after breaklen columns without improvement, so a
+// generous multiple of breaklen preserves its observable results while
+// collapsing dead extensions in divergent regions.
 void band_affine(const uint8_t *a, int64_t m, const uint8_t *b, int64_t n,
                  int64_t band, int free_end, int match, int mismatch,
-                 int open_, int extend, int64_t *out) {
+                 int open_, int extend, int64_t stop_rows, int64_t *out) {
   const int64_t width = 2 * band + 1;
   std::vector<Cell> M(width), D(width), I(width);
   std::vector<Cell> nM(width), nD(width), nI(width);
@@ -62,6 +67,7 @@ void band_affine(const uint8_t *a, int64_t m, const uint8_t *b, int64_t n,
     }
   }
   int64_t best_i = 0, best_j = 0, best_s = 0, best_e = 0, best_g = 0;
+  int64_t rows_since_improve = 0;
   if (free_end) {
     for (int64_t k = 0; k < width; k++) {
       const Cell c = best3(M[k], D[k], I[k]);
@@ -141,6 +147,7 @@ void band_affine(const uint8_t *a, int64_t m, const uint8_t *b, int64_t n,
     I.swap(nI);
 
     if (free_end) {
+      bool improved = false;
       for (int64_t k = 0; k < width; k++) {
         const Cell c = best3(M[k], D[k], I[k]);
         const int64_t j = k + (ci - band);
@@ -150,8 +157,11 @@ void band_affine(const uint8_t *a, int64_t m, const uint8_t *b, int64_t n,
           best_s = c.s;
           best_e = c.e;
           best_g = c.g;
+          improved = true;
         }
       }
+      if (improved) rows_since_improve = 0;
+      else if (stop_rows > 0 && ++rows_since_improve >= stop_rows) break;
     }
   }
 

@@ -43,6 +43,7 @@ def _band_dp(  # noqa: PLR0913, PLR0915
     mismatch: int = MISMATCH,
     gap_open: int = OPEN,
     gap_extend: int = EXTEND,
+    stop_rows: int = 0,
     force_numpy: bool = False,
 ) -> tuple[int, int, int, int, int]:
     """Banded affine DP -> (best_i, best_j, best_score, errors, gapcols).
@@ -61,7 +62,8 @@ def _band_dp(  # noqa: PLR0913, PLR0915
         from pyani_plus_tpu.native import band_dp_native
 
         native = band_dp_native(
-            a, b, band, free_end, match, mismatch, gap_open, gap_extend
+            a, b, band, free_end, match, mismatch, gap_open, gap_extend,
+            stop_rows,
         )
         if native is not None:
             return native
@@ -115,6 +117,7 @@ def _band_dp(  # noqa: PLR0913, PLR0915
     a16 = a.astype(np.int16)
     b16 = b.astype(np.int16)
 
+    rows_since_improve = 0
     for i in range(1, m + 1):
         ci, cp = center(i), center(i - 1)
         shift = ci - cp
@@ -193,6 +196,11 @@ def _band_dp(  # noqa: PLR0913, PLR0915
             sc = int(cs[k])
             if sc > best[2] or (sc == best[2] and i + int(js[k]) > best[0] + best[1]):
                 best = (i, int(js[k]), sc, int(ce[k]), int(cg[k]))
+                rows_since_improve = 0
+            else:
+                rows_since_improve += 1
+                if stop_rows > 0 and rows_since_improve >= stop_rows:
+                    break
 
     if free_end:
         return best
@@ -229,7 +237,11 @@ def extend_errors(
 
     The useful search region is bounded by the shorter tail plus the
     breaklen slack (an extension cannot usefully outrun the nearer
-    sequence end by more than the give-up distance).
+    sequence end by more than the give-up distance), and the DP gives
+    up after 3*breaklen rows without improving the best score --
+    nucmer's Extend_Alignment abandons after ~breaklen columns, so the
+    generous 3x cutoff preserves its observable results (fixture
+    parity unchanged) while collapsing dead extensions.
     """
     if a.size == 0 or b.size == 0:
         return 0, 0, 0, 0
@@ -237,5 +249,7 @@ def extend_errors(
     a = a[:limit]
     b = b[:limit]
     band = int(min(band, max(a.size, b.size)))
-    i, j, _score, errors, gapcols = _band_dp(a, b, band, free_end=True)
+    i, j, _score, errors, gapcols = _band_dp(
+        a, b, band, free_end=True, stop_rows=3 * breaklen
+    )
     return int(i), int(j), int(errors), int(gapcols)
