@@ -74,6 +74,21 @@ def test_viral_matrices_exact(viral_genomes) -> None:
             assert abs(res["cov_query"] - exp["coverage"].loc[qs, ts]) < 1e-12
 
 
+def test_bacterial_divergent_pair_tolerance() -> None:
+    """Divergent bacterial pair: identity within 0.01, aln within 7%."""
+    d = Path("/root/reference/tests/fixtures/bacterial_example")
+    if not d.is_dir():
+        pytest.skip("reference fixtures not available")
+    q = load_genome(d / "NC_002696.fasta.gz")
+    s = load_genome(d / "NC_010338.fna.gz")
+    exp_i = pd.read_csv(d / "matrices/ANIminimap2_identity.tsv", sep="\t", index_col=0)
+    exp_a = pd.read_csv(d / "matrices/ANIminimap2_aln_lengths.tsv", sep="\t", index_col=0)
+    res = compute_pair(q, s, "asm20")
+    want_a = exp_a.loc["NC_002696", "NC_010338"]
+    assert abs(res["identity"] - exp_i.loc["NC_002696", "NC_010338"]) < 0.01
+    assert abs(res["aln_length"] - want_a) / want_a < 0.07
+
+
 def test_bacterial_self_pair_tolerance() -> None:
     """Bacterial self pair: aln_length exact, identity within 1e-3."""
     d = Path("/root/reference/tests/fixtures/bacterial_example")

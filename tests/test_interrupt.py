@@ -20,8 +20,31 @@ from pyani_plus_tpu.db import Database
 VIRAL = Path("/root/reference/tests/fixtures/viral_example")
 
 
-@pytest.mark.skipif(not VIRAL.is_dir(), reason="reference fixtures missing")
+def _write_related_genomes(directory: Path, count: int = 8) -> None:
+    """Synthetic ~1%-divergent genomes so the run lasts long enough to
+    interrupt deterministically (the reference's interrupt test also
+    uses generated genomes, tests/test_interrupt.py:41-57)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    base = rng.integers(0, 4, 60_000).astype(np.uint8)
+    alphabet = np.frombuffer(b"ACGT", dtype=np.uint8)
+    for i in range(count):
+        variant = base.copy()
+        sites = rng.random(variant.size) < 0.01
+        variant[sites] = (variant[sites] + rng.integers(1, 4)) % 4
+        seq = alphabet[variant].tobytes()
+        with (directory / f"genome_{i}.fasta").open("wb") as handle:
+            handle.write(b">genome_%d synthetic\n" % i)
+            for start in range(0, len(seq), 60):
+                handle.write(seq[start : start + 60] + b"\n")
+
+
 def test_sigint_mid_anim_run(tmp_path) -> None:
+    genomes_dir = tmp_path / "genomes"
+    genomes_dir.mkdir()
+    _write_related_genomes(genomes_dir)
+    n_pairs = 64
     db_path = tmp_path / "db.sqlite"
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -31,7 +54,7 @@ def test_sigint_mid_anim_run(tmp_path) -> None:
             "-m",
             "pyani_plus_tpu.cli.main",
             "anim",
-            str(VIRAL),
+            str(genomes_dir),
             "-d",
             str(db_path),
             "--create-db",
@@ -42,10 +65,22 @@ def test_sigint_mid_anim_run(tmp_path) -> None:
         stderr=subprocess.STDOUT,
     )
     # Partial rows are persisted *at* interrupt time (the in-memory flush
-    # window is 300 s), so interrupt on a timer mid-run: the viral ANIm
-    # run takes ~15-30 s, so a few seconds in there are completed pairs
-    # in the method's buffer but the run is far from done.
-    time.sleep(8.0)
+    # window is 300 s). The run has grown fast enough that a fixed timer
+    # races completion, so poll until the run row exists and at least a
+    # couple of seconds of compute have elapsed, then interrupt.
+    deadline = time.time() + 60
+    started = None
+    while time.time() < deadline and proc.poll() is None:
+        if started is None and db_path.is_file():
+            try:
+                with Database(db_path) as db:
+                    db.load_run()
+                started = time.time()
+            except Exception:
+                pass
+        if started is not None and time.time() - started > 3.0:
+            break
+        time.sleep(0.1)
     if proc.poll() is not None:
         pytest.skip("run finished before it could be interrupted")
     proc.send_signal(signal.SIGINT)
@@ -80,4 +115,4 @@ def test_sigint_mid_anim_run(tmp_path) -> None:
     with Database(db_path) as db:
         run = db.load_run()
         assert run.status == "Done"
-        assert run.comparisons_count() == 9
+        assert run.comparisons_count() == n_pairs
