@@ -718,5 +718,155 @@ def plot_run_comp_cmd(  # noqa: PLR0913
     click.echo(f"Wrote comparison plots to {outdir}")
 
 
+
+
+@app.command(name="export-comparisons")
+@click.option(
+    "-d",
+    "--database",
+    required=True,
+    type=click.Path(path_type=Path, dir_okay=False, exists=True),
+)
+@click.option("--run-id", default=None, type=int, help="Run to export (default latest)")
+@click.option(
+    "-o",
+    "--output",
+    required=True,
+    type=click.Path(path_type=Path, dir_okay=False),
+    help="JSON file to write",
+)
+@click.option("--log", default=None, type=click.Path(path_type=Path, dir_okay=False))
+@click.option("--debug", is_flag=True, default=False)
+def export_comparisons_cmd(
+    database: Path, run_id: int | None, output: Path, log: Path | None, debug: bool
+) -> None:
+    """Export a run's comparisons as a JSON batch (worker transport).
+
+    Same structure as the reference's export_json_db_entries
+    (private_cli.py:454-504): {"configuration": ..., "uname": ...,
+    "comparisons": [...]}, so batches can be shipped between hosts
+    without a shared filesystem and merged idempotently.
+    """
+    import json
+    import platform
+
+    logger = _logger(log, debug=debug)
+    with Database(database, logger=logger) as db:
+        run = db.load_run(run_id)
+        config = run.configuration
+        comparisons = [
+            {
+                "query_hash": row["query_hash"],
+                "subject_hash": row["subject_hash"],
+                "identity": row["identity"],
+                "aln_length": row["aln_length"],
+                "sim_errors": row["sim_errors"],
+                "cov_query": row["cov_query"],
+                "cov_subject": row["cov_subject"],
+            }
+            for row in run.comparisons()
+        ]
+    uname = platform.uname()
+    output.write_text(
+        json.dumps(
+            {
+                "configuration": {
+                    "method": config.method,
+                    "program": config.program,
+                    "version": config.version,
+                    "fragsize": config.fragsize,
+                    "mode": config.mode,
+                    "kmersize": config.kmersize,
+                    "minmatch": config.minmatch,
+                    "extra": config.extra,
+                },
+                "uname": {
+                    "system": uname.system,
+                    "release": uname.release,
+                    "machine": uname.machine,
+                },
+                "comparisons": comparisons,
+            }
+        )
+    )
+    click.echo(f"Exported {len(comparisons)} comparisons to {output}")
+
+
+@app.command(name="import-comparisons")
+@click.option(
+    "-d",
+    "--database",
+    required=True,
+    type=click.Path(path_type=Path, dir_okay=False, exists=True),
+)
+@click.argument(
+    "json_files",
+    nargs=-1,
+    required=True,
+    type=click.Path(path_type=Path, dir_okay=False, exists=True),
+)
+@click.option("--log", default=None, type=click.Path(path_type=Path, dir_okay=False))
+@click.option("--debug", is_flag=True, default=False)
+def import_comparisons_cmd(
+    database: Path, json_files: tuple[Path, ...], log: Path | None, debug: bool
+) -> None:
+    """Import JSON comparison batches (reference import_json_comparisons).
+
+    Validates the structure, maps the embedded configuration to a
+    configuration row (created if needed), and bulk-inserts with
+    INSERT OR IGNORE -- re-importing the same batch is a no-op
+    (private_cli.py:507-614 semantics).
+    """
+    import json
+
+    logger = _logger(log, debug=debug)
+    total = 0
+    with Database(database, logger=logger) as db:
+        for json_file in json_files:
+            raw = json_file.read_bytes()
+            if not raw:
+                log_sys_exit(logger, f"JSON file '{json_file}' is empty")
+            try:
+                payload = json.loads(raw)
+            except json.JSONDecodeError as err:
+                log_sys_exit(logger, f"Invalid JSON in '{json_file}': {err}")
+            for key in ("configuration", "uname", "comparisons"):
+                if key not in payload:
+                    log_sys_exit(
+                        logger, f"JSON file '{json_file}' lacks '{key}' entry"
+                    )
+            config = payload["configuration"]
+            uname = payload["uname"]
+            config_id = db.get_or_create_configuration(
+                method=config["method"],
+                program=config["program"],
+                version=config["version"],
+                fragsize=config.get("fragsize"),
+                mode=config.get("mode"),
+                kmersize=config.get("kmersize"),
+                minmatch=config.get("minmatch"),
+                extra=config.get("extra"),
+            ).configuration_id
+            rows = []
+            for entry in payload["comparisons"]:
+                if "query_hash" not in entry or "subject_hash" not in entry:
+                    log_sys_exit(
+                        logger,
+                        f"Comparison in '{json_file}' lacks query/subject hash",
+                    )
+                rows.append(
+                    {
+                        **entry,
+                        "uname_system": uname.get("system", ""),
+                        "uname_release": uname.get("release", ""),
+                        "uname_machine": uname.get("machine", ""),
+                    }
+                )
+            db.insert_comparisons(rows, configuration_id=config_id)
+            total += len(rows)
+            logger.info("Imported %d comparisons from %s", len(rows), json_file)
+    click.echo(f"Imported {total} comparisons")
+
+
 if __name__ == "__main__":
     app()

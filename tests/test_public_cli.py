@@ -215,3 +215,40 @@ def test_missing_db_errors(runner, viral_example_mod, tmp_path) -> None:
     )
     assert result.exit_code != 0
     assert "not using --create-db" in str(result.output) + str(result.exception)
+
+
+def test_export_import_comparisons_roundtrip(runner, sourmash_run, tmp_path) -> None:
+    """JSON batch export -> import into a fresh DB is lossless + idempotent.
+
+    Mirrors the reference's export_json_db_entries / import_json_comparisons
+    worker transport (private_cli.py:454-614).
+    """
+    import json
+
+    db_path, _outdir = sourmash_run
+    json_path = tmp_path / "batch.json"
+    result = runner.invoke(
+        app,
+        ["export-comparisons", "-d", str(db_path), "-o", str(json_path)],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    payload = json.loads(json_path.read_text())
+    assert set(payload) == {"configuration", "uname", "comparisons"}
+    assert len(payload["comparisons"]) == 9
+
+    from pyani_plus_tpu.db import Database
+
+    new_db = tmp_path / "fresh.sqlite"
+    with Database(new_db, create=True):
+        pass
+    for _ in range(2):  # second import is a no-op (INSERT OR IGNORE)
+        result = runner.invoke(
+            app,
+            ["import-comparisons", "-d", str(new_db), str(json_path)],
+            catch_exceptions=False,
+        )
+        assert result.exit_code == 0, result.output
+    with Database(new_db) as db:
+        rows = db.conn.execute("SELECT COUNT(*) FROM comparisons").fetchone()
+        assert rows[0] == 9
