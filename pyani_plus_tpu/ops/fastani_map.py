@@ -64,7 +64,14 @@ def n_window_steps(frag_len: int, k: int, w: int) -> int:
 
 @dataclass
 class RefIndex:
-    """Minimizer pick-run index of one reference genome (all sequences)."""
+    """Minimizer pick-run index of one reference genome (all sequences).
+
+    ``hashes_sorted``/``sorted_entry`` hold a one-time sort of the hash
+    column so per-fragment L1 lookups are searchsorted joins instead of
+    np.isin (which re-sorts the whole index per call);
+    ``seq_bounds[sid]`` slices the per-sequence entry range (entries are
+    stored grouped by sequence in position order).
+    """
 
     seq_ids: np.ndarray  # int32 per record
     hashes: np.ndarray  # uint64
@@ -74,6 +81,23 @@ class RefIndex:
     total_length: int
     k: int = KMER_SIZE
     w: int = WINDOW_SIZE
+    hashes_sorted: np.ndarray | None = None
+    sorted_entry: np.ndarray | None = None
+    seq_bounds: dict[int, tuple[int, int]] | None = None
+
+    def __post_init__(self) -> None:
+        if self.hashes_sorted is None:
+            order = np.argsort(self.hashes, kind="stable")
+            self.hashes_sorted = self.hashes[order]
+            self.sorted_entry = order
+            bounds: dict[int, tuple[int, int]] = {}
+            if self.seq_ids.size:
+                change = np.nonzero(np.diff(self.seq_ids))[0] + 1
+                starts = np.concatenate(([0], change))
+                ends = np.concatenate((change, [self.seq_ids.size]))
+                for s, e in zip(starts, ends):
+                    bounds[int(self.seq_ids[s])] = (int(s), int(e))
+            self.seq_bounds = bounds
 
     @classmethod
     def build(
@@ -229,11 +253,20 @@ def map_fragment(  # noqa: PLR0913, C901
     m = estimate_minimum_hits_relaxed(s, k, perc_identity)
 
     # L1: every index run whose hash is in the fragment sketch
-    hit_mask = np.isin(ref.hashes, query_hashes)
-    if not hit_mask.any():
+    # (searchsorted join against the pre-sorted hash column)
+    lo = np.searchsorted(ref.hashes_sorted, query_hashes, side="left")
+    hi = np.searchsorted(ref.hashes_sorted, query_hashes, side="right")
+    counts = hi - lo
+    nz = counts > 0
+    if not nz.any():
         return None
-    hit_seq = ref.seq_ids[hit_mask]
-    hit_t = ref.first_steps[hit_mask]
+    entry_idx = ref.sorted_entry[
+        np.concatenate(
+            [np.arange(c) + start for c, start in zip(counts[nz], lo[nz])]
+        )
+    ]
+    hit_seq = ref.seq_ids[entry_idx]
+    hit_t = ref.first_steps[entry_idx]
     order = np.lexsort((hit_t, hit_seq))
     hit_seq, hit_t = hit_seq[order], hit_t[order]
 
@@ -258,10 +291,10 @@ def map_fragment(  # noqa: PLR0913, C901
             else:
                 regions.append((int(a), b))
 
-        ref_sel = ref.seq_ids == sid
-        seq_hash = ref.hashes[ref_sel]
-        seq_first = ref.first_steps[ref_sel]
-        seq_last = ref.last_steps[ref_sel]
+        b_lo, b_hi = ref.seq_bounds[int(sid)]
+        seq_hash = ref.hashes[b_lo:b_hi]
+        seq_first = ref.first_steps[b_lo:b_hi]
+        seq_last = ref.last_steps[b_lo:b_hi]
         for a, b in regions:
             # Runs that can appear in any window anchored in [a, b]
             run_mask = (seq_last >= a) & (seq_first <= b + w_steps - 1)

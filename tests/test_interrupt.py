@@ -68,17 +68,17 @@ def test_sigint_mid_anim_run(tmp_path) -> None:
     # window is 300 s). The run has grown fast enough that a fixed timer
     # races completion, so poll until the run row exists and at least a
     # couple of seconds of compute have elapsed, then interrupt.
-    deadline = time.time() + 60
+    deadline = time.time() + 120
     started = None
     while time.time() < deadline and proc.poll() is None:
         if started is None and db_path.is_file():
             try:
                 with Database(db_path) as db:
-                    db.load_run()
-                started = time.time()
+                    if db.load_run().status == "Running":
+                        started = time.time()
             except Exception:
                 pass
-        if started is not None and time.time() - started > 3.0:
+        if started is not None and time.time() - started > 2.0:
             break
         time.sleep(0.1)
     if proc.poll() is not None:
