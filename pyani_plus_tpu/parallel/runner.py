@@ -216,6 +216,30 @@ def resume_run(  # noqa: PLR0913, C901
             db.insert_comparisons(rows, configuration_id=run.configuration_id)
             logger.debug("Flushed %d comparisons", len(rows))
 
+        # Live progress over the pending pairs (the reference's Rich
+        # progress columns, __init__.py:50-58; progress there is polled
+        # from the DB by a separate process -- here the methods tick the
+        # context directly, no polling needed).
+        from rich.progress import (
+            BarColumn,
+            MofNCompleteColumn,
+            Progress,
+            SpinnerColumn,
+            TimeElapsedColumn,
+        )
+
+        progress = Progress(
+            SpinnerColumn(),
+            "[progress.description]{task.description}",
+            BarColumn(),
+            MofNCompleteColumn(),
+            TimeElapsedColumn(),
+            transient=True,
+        )
+        task_id = progress.add_task(
+            f"{config.get('method', 'ANI')} comparisons", total=len(pending)
+        )
+
         ctx = ComputeContext(
             logger=logger,
             genomes=genomes,
@@ -225,6 +249,7 @@ def resume_run(  # noqa: PLR0913, C901
             config=config,
             cache=cache,
             extra_files=extra_files or {},
+            progress=lambda n: progress.advance(task_id, n),
             flush=flush,
         )
         # Real profiling (the reference has none -- SURVEY.md section 5):
@@ -232,14 +257,15 @@ def resume_run(  # noqa: PLR0913, C901
         # compute phase, viewable in TensorBoard/XProf.
         profile_dir = os.environ.get("PYANI_TPU_PROFILE")
         try:
-            if profile_dir:
-                import jax
+            with progress:
+                if profile_dir:
+                    import jax
 
-                with jax.profiler.trace(profile_dir):
+                    with jax.profiler.trace(profile_dir):
+                        rows = method.compute(ctx)
+                    logger.info("Wrote profiler trace to %s", profile_dir)
+                else:
                     rows = method.compute(ctx)
-                logger.info("Wrote profiler trace to %s", profile_dir)
-            else:
-                rows = method.compute(ctx)
         except KeyboardInterrupt:
             logger.error("Interrupted; marking run as 'Worker interrupted'")
             run.set_status("Worker interrupted")
