@@ -1,15 +1,23 @@
-// Native Kasai LCP computation (host hot path for bacterial-scale ANIm).
+// Native suffix array + Kasai LCP (host hot path for bacterial-scale
+// ANIm/dnadiff seeding).
 //
-// The suffix array itself stays in numpy (prefix doubling = a handful of
-// O(n log n) vectorised sorts); Kasai's O(n) LCP walk is a scalar loop
-// that is ~100x faster here than in Python.
+// Suffix array via SA-IS (Nong, Zhang & Chan 2009): linear-time induced
+// sorting of LMS substrings with recursion on the reduced problem.
+// Input symbols are first remapped to dense ranks (the callers use
+// arbitrary int64 symbols: nucleotide codes, separators, and unique
+// per-N sentinels), then a unique smallest sentinel 0 is appended.
+// Output equals any correct suffix array (suffix order is unique) --
+// parity-tested against the numpy prefix-doubling implementation and a
+// brute-force oracle.
+//
+// Kasai's O(n) LCP walk is a scalar loop ~100x faster here than in
+// Python.
 //
 // Build: g++ -O3 -shared -fPIC suffix.cpp -o libsuffix.so
 
+#include <algorithm>
 #include <cstdint>
 #include <vector>
-#include <algorithm>
-#include <utility>
 
 extern "C" {
 
@@ -36,128 +44,137 @@ void kasai_lcp(const int64_t *text, const int64_t *sa, int64_t n,
   }
 }
 
-// Suffix array via Larsson-Sadakane qsufsort (prefix doubling with
-// per-group ternary-split quicksort refinement; sorted groups are
-// skipped, so total work collapses quickly). Output equals any correct
-// suffix array (suffix order is unique) -- parity-tested against the
-// numpy implementation.
-namespace sa_ls {
+namespace sais_impl {
 
-static int64_t *V;   // rank (group number = index of group's last slot)
-static int64_t *I;   // suffix array under construction
-static int64_t H;    // current offset h
-
-static inline int64_t key(int64_t p) { return V[I[p] + H]; }
-
-static void update_group(int64_t lo, int64_t hi) {
-  // assign group number = hi (last slot index) to slots lo..hi
-  for (int64_t i = lo; i <= hi; i++) V[I[i]] = hi;
-  if (lo == hi) I[lo] = -1;  // single element: mark sorted (length 1 run)
+inline bool is_lms(const std::vector<uint8_t> &t, int64_t i) {
+  return i > 0 && t[i] && !t[i - 1];
 }
 
-static void select_sort_split(int64_t lo, int64_t hi) {
-  int64_t i = lo;
-  while (i < hi) {
-    int64_t j = i, mink = key(i);
-    for (int64_t k2 = i + 1; k2 <= hi; k2++)
-      if (key(k2) < mink) mink = key(k2);
-    // move all elements with key == mink to the front
-    for (int64_t k2 = i; k2 <= hi; k2++)
-      if (key(k2) == mink) std::swap(I[j++], I[k2]);
-    update_group(i, j - 1);
-    i = j;
+static void get_buckets(const int64_t *T, int64_t n, int64_t K,
+                        std::vector<int64_t> &bkt, bool end) {
+  std::fill(bkt.begin(), bkt.end(), 0);
+  for (int64_t i = 0; i < n; i++) bkt[T[i]]++;
+  int64_t sum = 0;
+  for (int64_t k = 0; k < K; k++) {
+    sum += bkt[k];
+    bkt[k] = end ? sum : sum - bkt[k];
   }
-  // a single trailing element (or a singleton input) still needs its
-  // group renumbered, else stale group-end pointers corrupt later walks
-  if (i == hi) update_group(hi, hi);
 }
 
-static int64_t choose_pivot(int64_t lo, int64_t hi) {
-  int64_t mid = (lo + hi) / 2;
-  int64_t a = key(lo), b = key(mid), c = key(hi);
-  if (a > b) std::swap(a, b);
-  if (b > c) { b = c; if (a > b) b = a; }
-  return b;
+static void induce(const int64_t *T, int64_t *SA, int64_t n, int64_t K,
+                   const std::vector<uint8_t> &t, std::vector<int64_t> &bkt) {
+  // induce L-type from sorted LMS/S positions
+  get_buckets(T, n, K, bkt, false);
+  for (int64_t i = 0; i < n; i++) {
+    const int64_t j = SA[i] - 1;
+    if (SA[i] > 0 && !t[j]) SA[bkt[T[j]]++] = j;
+  }
+  // induce S-type
+  get_buckets(T, n, K, bkt, true);
+  for (int64_t i = n - 1; i >= 0; i--) {
+    const int64_t j = SA[i] - 1;
+    if (SA[i] > 0 && t[j]) SA[--bkt[T[j]]] = j;
+  }
 }
 
-static void sort_split(int64_t lo, int64_t hi) {
-  if (hi - lo < 8) {  // small group: selection sort split
-    select_sort_split(lo, hi);
+// T[0..n): symbols in [0, K), T[n-1] = 0 the unique smallest sentinel.
+static void sais(const int64_t *T, int64_t *SA, int64_t n, int64_t K) {
+  if (n == 1) {
+    SA[0] = 0;
     return;
   }
-  const int64_t piv = choose_pivot(lo, hi);
-  // three-way partition by key
-  int64_t first = lo, last = hi, i = lo;
-  while (i <= last) {
-    const int64_t k2 = key(i);
-    if (k2 < piv) std::swap(I[first++], I[i++]);
-    else if (k2 > piv) std::swap(I[i], I[last--]);
-    else i++;
+  std::vector<uint8_t> t(n);
+  t[n - 1] = true;
+  for (int64_t i = n - 2; i >= 0; i--)
+    t[i] = T[i] < T[i + 1] || (T[i] == T[i + 1] && t[i + 1]);
+  std::vector<int64_t> bkt(K);
+
+  // Stage 1: sort LMS substrings by induced sorting
+  std::fill(SA, SA + n, (int64_t)-1);
+  get_buckets(T, n, K, bkt, true);
+  for (int64_t i = 1; i < n; i++)
+    if (is_lms(t, i)) SA[--bkt[T[i]]] = i;
+  induce(T, SA, n, K, t, bkt);
+
+  // Compact the sorted LMS positions into SA[0..n1)
+  int64_t n1 = 0;
+  for (int64_t i = 0; i < n; i++)
+    if (is_lms(t, SA[i])) SA[n1++] = SA[i];
+
+  // Name LMS substrings into SA[n1..n)
+  std::fill(SA + n1, SA + n, (int64_t)-1);
+  int64_t name = 0, prev = -1;
+  for (int64_t i = 0; i < n1; i++) {
+    const int64_t pos = SA[i];
+    bool diff = false;
+    if (prev == -1) {
+      diff = true;
+    } else {
+      for (int64_t d = 0;; d++) {
+        if (pos + d == n || prev + d == n || T[pos + d] != T[prev + d] ||
+            t[pos + d] != t[prev + d]) {
+          diff = true;
+          break;
+        }
+        if (d > 0 && (is_lms(t, pos + d) || is_lms(t, prev + d))) break;
+      }
+    }
+    if (diff) {
+      name++;
+      prev = pos;
+    }
+    SA[n1 + pos / 2] = name - 1;
   }
-  if (first > lo) sort_split(lo, first - 1);
-  update_group(first, last);
-  if (last < hi) sort_split(last + 1, hi);
+  for (int64_t i = n - 1, j = n - 1; i >= n1; i--)
+    if (SA[i] >= 0) SA[j--] = SA[i];
+
+  // Stage 2: sort the reduced problem
+  int64_t *SA1 = SA;
+  int64_t *s1 = SA + n - n1;
+  if (name < n1) {
+    sais(s1, SA1, n1, name);
+  } else {
+    for (int64_t i = 0; i < n1; i++) SA1[s1[i]] = i;
+  }
+
+  // Stage 3: induce the full SA from the sorted LMS suffixes
+  for (int64_t i = 1, j = 0; i < n; i++)
+    if (is_lms(t, i)) s1[j++] = i;  // LMS positions in text order
+  for (int64_t i = 0; i < n1; i++) SA1[i] = s1[SA1[i]];
+  std::fill(SA + n1, SA + n, (int64_t)-1);
+  get_buckets(T, n, K, bkt, true);
+  for (int64_t i = n1 - 1; i >= 0; i--) {
+    const int64_t j = SA[i];
+    SA[i] = -1;
+    SA[--bkt[T[j]]] = j;
+  }
+  induce(T, SA, n, K, t, bkt);
 }
 
-}  // namespace sa_ls
+}  // namespace sais_impl
 
+// Suffix array of arbitrary int64 symbols (name kept for ABI compat
+// with the previous prefix-doubling entry point).
 void suffix_array_pd(const int64_t *text, int64_t n, int64_t *sa) {
   if (n == 0) return;
-  if (n == 1) { sa[0] = 0; return; }
-  using namespace sa_ls;
-  // Append a unique *smallest* sentinel: every unsorted group then
-  // consists of suffixes whose sentinel offset is >= H, so key reads
-  // V[s + H] stay in bounds (the classic qsufsort invariant).
-  int64_t mn = text[0];
-  for (int64_t i = 1; i < n; i++)
-    if (text[i] < mn) mn = text[i];
+  if (n == 1) {
+    sa[0] = 0;
+    return;
+  }
+  // Dense order-preserving remap to [1, K); sentinel 0 appended.
+  std::vector<int64_t> sorted(text, text + n);
+  std::sort(sorted.begin(), sorted.end());
+  sorted.erase(std::unique(sorted.begin(), sorted.end()), sorted.end());
   const int64_t n2 = n + 1;
-  std::vector<int64_t> txt(n2);
-  for (int64_t i = 0; i < n; i++) txt[i] = text[i];
-  txt[n] = mn - 1;
-
-  std::vector<int64_t> Vv(n2 + 1), Iv(n2);
-  V = Vv.data();
-  I = Iv.data();
-
-  // Initial bucket sort by symbol
-  {
-    std::vector<std::pair<int64_t, int64_t>> sym(n2);
-    for (int64_t i = 0; i < n2; i++) sym[i] = {txt[i], i};
-    std::sort(sym.begin(), sym.end());
-    for (int64_t i = 0; i < n2; i++) I[i] = sym[i].second;
-    int64_t gstart = 0;
-    for (int64_t i = 0; i < n2; i++) {
-      if (i + 1 == n2 || sym[i + 1].first != sym[i].first) {
-        for (int64_t j2 = gstart; j2 <= i; j2++) V[I[j2]] = i;
-        if (gstart == i) I[gstart] = -1;
-        gstart = i + 1;
-      }
-    }
-  }
-
-  for (H = 1; I[0] != -n2; H *= 2) {
-    int64_t i = 0;
-    int64_t sorted_run = 0;
-    while (i < n2) {
-      if (I[i] < 0) {
-        sorted_run += -I[i];
-        i += -I[i];
-      } else {
-        if (sorted_run) {
-          I[i - sorted_run] = -sorted_run;
-          sorted_run = 0;
-        }
-        const int64_t g = V[I[i]];  // group's last slot
-        sort_split(i, g);
-        i = g + 1;
-      }
-    }
-    if (sorted_run) I[n2 - sorted_run] = -sorted_run;
-  }
-  // Reconstruct: V[i] = final rank of suffix i; sentinel suffix (rank 0)
-  // is dropped, remaining ranks shift down by one.
-  for (int64_t i = 0; i < n; i++) sa[V[i] - 1] = i;
+  std::vector<int64_t> T(n2);
+  for (int64_t i = 0; i < n; i++)
+    T[i] = 1 + (std::lower_bound(sorted.begin(), sorted.end(), text[i]) -
+                sorted.begin());
+  T[n] = 0;
+  std::vector<int64_t> SA(n2);
+  sais_impl::sais(T.data(), SA.data(), n2, (int64_t)sorted.size() + 1);
+  // Drop the sentinel suffix (always rank 0)
+  for (int64_t i = 1; i < n2; i++) sa[i - 1] = SA[i];
 }
 
 }  // extern "C"
