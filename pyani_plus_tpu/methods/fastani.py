@@ -87,10 +87,10 @@ def compute_pair(  # noqa: PLR0913
     total = len(fragments)
     if total == 0:
         return None
-    mappings: list[FragmentMapping] = []
-    for frag_id, frag in enumerate(fragments):
-        mins = window_minimizers(frag, kmersize, WINDOW_SIZE)
-        mapping = map_fragment(
+
+    def _map_one(frag_id: int) -> FragmentMapping | None:
+        mins = window_minimizers(fragments[frag_id], kmersize, WINDOW_SIZE)
+        return map_fragment(
             mins,
             subject_index,
             frag_len=fragsize,
@@ -98,8 +98,20 @@ def compute_pair(  # noqa: PLR0913
             w=WINDOW_SIZE,
             fragment_id=frag_id,
         )
-        if mapping is not None:
-            mappings.append(mapping)
+
+    # The native winnow + mapping kernels release the GIL inside ctypes,
+    # so a thread pool parallelises fragments across host cores; results
+    # are collected in fragment order, keeping everything deterministic.
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = min(8, os.cpu_count() or 1)
+    if workers > 1 and total > 4:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            results = list(pool.map(_map_one, range(total)))
+    else:
+        results = [_map_one(i) for i in range(total)]
+    mappings: list[FragmentMapping] = [mp for mp in results if mp is not None]
     w_steps = n_window_steps(fragsize, kmersize, WINDOW_SIZE)
     mappings = reference_filter(mappings, w_steps)
     # One mapping per fragment already (best kept in map_fragment); the

@@ -446,3 +446,212 @@ def mm2_chain_dp_native(  # noqa: PLR0913
         p.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return f, p
+
+
+_FASTANI_SO = _DIR / "libfastani.so"
+_FASTANI_SRC = _DIR / "fastani.cpp"
+_fastani_lib = None
+_fastani_tried = False
+
+
+def _load_fastani():
+    global _fastani_lib, _fastani_tried
+    if _fastani_lib is not None or _fastani_tried:
+        return _fastani_lib
+    _fastani_tried = True
+    try:
+        _build(_FASTANI_SRC, _FASTANI_SO)
+        lib = ctypes.CDLL(str(_FASTANI_SO))
+        lib.fastani_eval_region.restype = None
+        lib.fastani_eval_region.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.fastani_winnow.restype = ctypes.c_int64
+        lib.fastani_winnow.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int8),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+        ]
+        _fastani_lib = lib
+    except Exception as exc:  # pragma: no cover - no compiler
+        logging.getLogger(__package__).debug("native fastani unavailable: %s", exc)
+        _fastani_lib = None
+    return _fastani_lib
+
+
+def fastani_eval_region_native(  # noqa: PLR0913
+    query_hashes_sorted: np.ndarray,
+    entry_hash: np.ndarray,
+    entry_first: np.ndarray,
+    entry_last: np.ndarray,
+    event_t: np.ndarray,
+    w_steps: int,
+    s: int,
+):
+    """Fenwick-sweep region evaluation -> (shared, t), or None."""
+    lib = _load_fastani()
+    if lib is None:
+        return None
+    qh = np.ascontiguousarray(query_hashes_sorted, dtype=np.uint64)
+    eh = np.ascontiguousarray(entry_hash, dtype=np.uint64)
+    ef = np.ascontiguousarray(entry_first, dtype=np.int64)
+    el = np.ascontiguousarray(entry_last, dtype=np.int64)
+    ev = np.ascontiguousarray(event_t, dtype=np.int64)
+    out = np.zeros(2, dtype=np.int64)
+    lib.fastani_eval_region(
+        qh.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        qh.size,
+        eh.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ef.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        el.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        eh.size,
+        ev.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ev.size,
+        w_steps,
+        s,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return int(out[0]), int(out[1])
+
+
+def fastani_winnow_native(seq_bytes, k: int, w: int, seed: int = 42):
+    """Winnowed minimizer pick runs -> 5 arrays, or None if unavailable.
+
+    Returns (hashes, positions, strands, first_steps, last_steps) with the
+    same contract as ops.minimizers.window_minimizers.
+    """
+    lib = _load_fastani()
+    if lib is None:
+        return None
+    seq = (
+        np.frombuffer(seq_bytes, dtype=np.uint8)
+        if isinstance(seq_bytes, (bytes, bytearray))
+        else np.ascontiguousarray(seq_bytes, dtype=np.uint8)
+    )
+    n = seq.size
+    n_win = n - k + 1
+    if n_win < max(w, 1):
+        return (
+            np.empty(0, np.uint64),
+            np.empty(0, np.int64),
+            np.empty(0, np.int8),
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+        )
+    # Expected run count ~ 2*n/(w+1); retry with the exact count if short.
+    cap = max(1024, int(n_win * 2 / (w + 1)) + int(n_win * 0.1))
+    while True:
+        out_h = np.empty(cap, dtype=np.uint64)
+        out_p = np.empty(cap, dtype=np.int64)
+        out_s = np.empty(cap, dtype=np.int8)
+        out_f = np.empty(cap, dtype=np.int64)
+        out_l = np.empty(cap, dtype=np.int64)
+        count = lib.fastani_winnow(
+            seq.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n,
+            k,
+            w,
+            seed,
+            out_h.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            out_p.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            out_s.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            out_f.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            out_l.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            cap,
+        )
+        if count <= cap:
+            return (
+                out_h[:count].copy(),
+                out_p[:count].copy(),
+                out_s[:count].copy(),
+                out_f[:count].copy(),
+                out_l[:count].copy(),
+            )
+        cap = int(count)
+
+
+def _bind_map_fragment(lib):
+    if getattr(lib, "_map_fragment_bound", False):
+        return
+    lib.fastani_map_fragment.restype = None
+    lib.fastani_map_fragment.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib._map_fragment_bound = True
+
+
+def fastani_map_fragment_native(  # noqa: PLR0913
+    query_hashes_sorted: np.ndarray,
+    ref_hash: np.ndarray,
+    ref_first: np.ndarray,
+    ref_last: np.ndarray,
+    ref_seq: np.ndarray,
+    ref_hash_sorted: np.ndarray,
+    ref_sorted_entry: np.ndarray,
+    seq_lo: np.ndarray,
+    seq_hi: np.ndarray,
+    seq_ids: np.ndarray,
+    w_steps: int,
+    s: int,
+    m: int,
+):
+    """Full native fragment L2 mapping -> (shared, t, seq_id), or None."""
+    lib = _load_fastani()
+    if lib is None:
+        return None
+    _bind_map_fragment(lib)
+    out = np.zeros(3, dtype=np.int64)
+    lib.fastani_map_fragment(
+        query_hashes_sorted.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        query_hashes_sorted.size,
+        ref_hash.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ref_first.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ref_last.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ref_seq.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ref_hash_sorted.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ref_sorted_entry.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ref_hash.size,
+        seq_lo.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        seq_hi.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        seq_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        seq_ids.size,
+        w_steps,
+        s,
+        m,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return int(out[0]), int(out[1]), int(out[2])

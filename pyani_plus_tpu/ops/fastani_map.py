@@ -33,6 +33,7 @@ the exact shape that vectorises onto TPU; numpy is the host path.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 from math import ceil, exp, log
 
 import numpy as np
@@ -87,9 +88,17 @@ class RefIndex:
 
     def __post_init__(self) -> None:
         if self.hashes_sorted is None:
+            self.hashes = np.ascontiguousarray(self.hashes, dtype=np.uint64)
+            self.first_steps = np.ascontiguousarray(
+                self.first_steps, dtype=np.int64
+            )
+            self.last_steps = np.ascontiguousarray(
+                self.last_steps, dtype=np.int64
+            )
+            self.seq_ids = np.ascontiguousarray(self.seq_ids, dtype=np.int32)
             order = np.argsort(self.hashes, kind="stable")
             self.hashes_sorted = self.hashes[order]
-            self.sorted_entry = order
+            self.sorted_entry = np.ascontiguousarray(order, dtype=np.int64)
             bounds: dict[int, tuple[int, int]] = {}
             if self.seq_ids.size:
                 change = np.nonzero(np.diff(self.seq_ids))[0] + 1
@@ -98,6 +107,14 @@ class RefIndex:
                 for s, e in zip(starts, ends):
                     bounds[int(self.seq_ids[s])] = (int(s), int(e))
             self.seq_bounds = bounds
+            sids = sorted(bounds)
+            self.seq_lo_arr = np.array(
+                [bounds[sid][0] for sid in sids], dtype=np.int64
+            )
+            self.seq_hi_arr = np.array(
+                [bounds[sid][1] for sid in sids], dtype=np.int64
+            )
+            self.seq_ids_arr = np.array(sids, dtype=np.int32)
 
     @classmethod
     def build(
@@ -183,11 +200,14 @@ def identity_upper_bound(
     return 100.0 * (1.0 - j2md(j_hi, k))
 
 
+@lru_cache(maxsize=4096)
 def estimate_minimum_hits_relaxed(s: int, k: int, perc_identity: float) -> int:
     """L1 candidate threshold: relaxed lower bound on shared minimizers.
 
     Strict estimate is ceil(s * j(tau)); relaxation takes the lower 90%
     binomial confidence bound (MashMap Stat::estimateMinimumHitsRelaxed).
+    Memoised: (s, k, tau) repeats for every fragment of a run and the
+    scipy binom.ppf call was ~20% of a bacterial pair's mapping time.
     """
     j = md2j(1.0 - perc_identity / 100.0, k)
     strict = ceil(s * j)
@@ -213,7 +233,34 @@ def _evaluate_region(  # noqa: PLR0913
 
     A run is inside window anchored at t iff it intersects steps
     [t, t + w_steps - 1], i.e. t in [first - w_steps + 1, last].
+    Dispatches to the native Fenwick-sweep kernel when available
+    (O((runs+events) log domain) vs this dense O(events x domain) oracle;
+    bit-identical, fuzzed in tests/test_fastani.py).
     """
+    from pyani_plus_tpu.native import fastani_eval_region_native
+
+    res = fastani_eval_region_native(
+        query_hashes_sorted, entry_hash, entry_first, entry_last,
+        event_t, w_steps, s,
+    )
+    if res is not None:
+        return res
+    return _evaluate_region_numpy(
+        query_hashes_sorted, entry_hash, entry_first, entry_last,
+        event_t, w_steps, s,
+    )
+
+
+def _evaluate_region_numpy(  # noqa: PLR0913
+    query_hashes_sorted: np.ndarray,
+    entry_hash: np.ndarray,
+    entry_first: np.ndarray,
+    entry_last: np.ndarray,
+    event_t: np.ndarray,
+    w_steps: int,
+    s: int,
+) -> tuple[int, int]:
+    """Numpy oracle for :func:`_evaluate_region` (kept for parity tests)."""
     domain = np.union1d(query_hashes_sorted, entry_hash)  # sorted unique
     in_query = np.isin(domain, query_hashes_sorted, assume_unique=True)
     n_events = event_t.size
@@ -252,6 +299,40 @@ def map_fragment(  # noqa: PLR0913, C901
     w_steps = n_window_steps(frag_len, k, w)
     m = estimate_minimum_hits_relaxed(s, k, perc_identity)
 
+    from pyani_plus_tpu.native import fastani_map_fragment_native
+
+    native = fastani_map_fragment_native(
+        query_hashes,
+        ref.hashes,
+        ref.first_steps,
+        ref.last_steps,
+        ref.seq_ids,
+        ref.hashes_sorted,
+        ref.sorted_entry,
+        ref.seq_lo_arr,
+        ref.seq_hi_arr,
+        ref.seq_ids_arr,
+        w_steps,
+        s,
+        m,
+    )
+    if native is not None:
+        best_shared, best_t, best_seq = native
+        return _finish_mapping(
+            best_shared, best_t, best_seq, s, k, perc_identity, fragment_id
+        )
+    best_shared, best_t, best_seq = _search_mappings_numpy(
+        query_hashes, ref, w_steps, s, m
+    )
+    return _finish_mapping(
+        best_shared, best_t, best_seq, s, k, perc_identity, fragment_id
+    )
+
+
+def _search_mappings_numpy(
+    query_hashes: np.ndarray, ref: RefIndex, w_steps: int, s: int, m: int
+) -> tuple[int, int, int]:
+    """Numpy oracle for the native fragment L2 search (parity-tested)."""
     # L1: every index run whose hash is in the fragment sketch
     # (searchsorted join against the pre-sorted hash column)
     lo = np.searchsorted(ref.hashes_sorted, query_hashes, side="left")
@@ -259,7 +340,7 @@ def map_fragment(  # noqa: PLR0913, C901
     counts = hi - lo
     nz = counts > 0
     if not nz.any():
-        return None
+        return 0, -1, -1
     entry_idx = ref.sorted_entry[
         np.concatenate(
             [np.arange(c) + start for c, start in zip(counts[nz], lo[nz])]
@@ -315,6 +396,19 @@ def map_fragment(  # noqa: PLR0913, C901
             if shared > best_shared:
                 best_shared, best_t, best_seq = shared, t_opt, int(sid)
 
+    return best_shared, best_t, best_seq
+
+
+def _finish_mapping(  # noqa: PLR0913
+    best_shared: int,
+    best_t: int,
+    best_seq: int,
+    s: int,
+    k: int,
+    perc_identity: float,
+    fragment_id: int,
+) -> FragmentMapping | None:
+    """Identity estimate + CI acceptance on the best window found."""
     if best_shared == 0:
         return None
     j = min(1.0, best_shared / s)

@@ -101,7 +101,29 @@ def window_minimizers(
 
     Returns records in position order with consecutive duplicates removed,
     i.e. the content of MashMap's ``minimizerIndex`` for the sequence.
+    Dispatches to the native monotonic-deque sweep when available
+    (bit-identical; parity fuzzed in tests/test_fastani.py), with
+    ``window_minimizers_numpy`` as the oracle path.
     """
+    from pyani_plus_tpu.native import fastani_winnow_native
+
+    arrays = fastani_winnow_native(seq_bytes, k, w)
+    if arrays is not None:
+        hashes, positions, strands, first_steps, last_steps = arrays
+        return Minimizers(
+            hashes=hashes,
+            positions=positions,
+            strands=strands,
+            first_steps=first_steps,
+            last_steps=last_steps,
+        )
+    return window_minimizers_numpy(seq_bytes, k, w)
+
+
+def window_minimizers_numpy(
+    seq_bytes: bytes | np.ndarray, k: int, w: int
+) -> Minimizers:
+    """Numpy oracle for :func:`window_minimizers` (kept for parity tests)."""
     canonical, strand, valid = canonical_hashes(seq_bytes, k)
     n = canonical.size
     empty = Minimizers(

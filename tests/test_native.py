@@ -108,3 +108,102 @@ def test_band_dp_native_parity() -> None:
             got = _band_dp(a, b, band=band, free_end=free_end)
             want = _band_dp(a, b, band=band, free_end=free_end, force_numpy=True)
             assert got == want, (trial, band, free_end)
+
+
+def test_fastani_winnow_native_parity() -> None:
+    """Native deque winnower is bit-identical to the numpy oracle."""
+    from pyani_plus_tpu.native import fastani_winnow_native
+    from pyani_plus_tpu.ops.minimizers import window_minimizers_numpy
+
+    rng = np.random.default_rng(7)
+    alphabet = np.frombuffer(b"ACGTNacgtn", dtype=np.uint8)
+    for _ in range(25):
+        n = int(rng.integers(5, 4000))
+        seq = bytes(rng.choice(alphabet, size=n))
+        k = int(rng.integers(4, 20))
+        w = int(rng.integers(1, 30))
+        oracle = window_minimizers_numpy(seq, k, w)
+        arrays = fastani_winnow_native(seq, k, w)
+        assert arrays is not None
+        hashes, positions, strands, firsts, lasts = arrays
+        assert np.array_equal(oracle.hashes, hashes)
+        assert np.array_equal(oracle.positions, positions)
+        assert np.array_equal(oracle.strands, strands)
+        assert np.array_equal(oracle.first_steps, firsts)
+        assert np.array_equal(oracle.last_steps, lasts)
+
+
+def test_fastani_eval_region_native_parity() -> None:
+    """Fenwick-sweep region evaluation matches the dense numpy oracle."""
+    from pyani_plus_tpu.native import fastani_eval_region_native
+    from pyani_plus_tpu.ops.fastani_map import _evaluate_region_numpy
+
+    rng = np.random.default_rng(11)
+    for _ in range(40):
+        qh = np.unique(
+            rng.integers(0, 400, size=int(rng.integers(1, 100))).astype(
+                np.uint64
+            )
+        )
+        ne = int(rng.integers(1, 150))
+        eh = rng.integers(0, 400, size=ne).astype(np.uint64)
+        ef = np.sort(rng.integers(0, 300, size=ne))
+        el = ef + rng.integers(0, 40, size=ne)
+        w_steps = int(rng.integers(1, 80))
+        ev = np.unique(
+            np.clip(
+                np.concatenate([ef - w_steps + 1, el + 1, [0]]), 0, 400
+            )
+        )
+        s = int(rng.integers(1, qh.size + 1))
+        expected = _evaluate_region_numpy(qh, eh, ef, el, ev, w_steps, s)
+        got = fastani_eval_region_native(qh, eh, ef, el, ev, w_steps, s)
+        assert got == expected
+
+
+def test_fastani_map_fragment_native_parity() -> None:
+    """Native full-fragment L2 search matches the numpy search."""
+    from pyani_plus_tpu.native import fastani_map_fragment_native
+    from pyani_plus_tpu.ops.fastani_map import (
+        RefIndex,
+        _search_mappings_numpy,
+        estimate_minimum_hits_relaxed,
+        n_window_steps,
+    )
+    from pyani_plus_tpu.ops.minimizers import window_minimizers
+
+    rng = np.random.default_rng(13)
+    base = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=20000)
+    # Two reference sequences: a mutated copy and an unrelated one
+    mut = base.copy()
+    flips = rng.random(base.size) < 0.05
+    mut[flips] = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8),
+                            size=int(flips.sum()))
+    other = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=15000)
+    ref = RefIndex.build([bytes(mut), bytes(other)], k=16, w=24)
+    w_steps = n_window_steps(3000, 16, 24)
+    for start in range(0, 18000, 2500):
+        frag = bytes(base[start : start + 3000])
+        mins = window_minimizers(frag, 16, 24)
+        if mins.count == 0:
+            continue
+        qh = np.unique(mins.hashes)
+        s = int(qh.size)
+        m = estimate_minimum_hits_relaxed(s, 16, 80.0)
+        expected = _search_mappings_numpy(qh, ref, w_steps, s, m)
+        got = fastani_map_fragment_native(
+            qh,
+            ref.hashes,
+            ref.first_steps,
+            ref.last_steps,
+            ref.seq_ids,
+            ref.hashes_sorted,
+            ref.sorted_entry,
+            ref.seq_lo_arr,
+            ref.seq_hi_arr,
+            ref.seq_ids_arr,
+            w_steps,
+            s,
+            m,
+        )
+        assert tuple(got) == tuple(expected)
