@@ -155,20 +155,48 @@ def align_sequences(
     qlen = qry.size
     # Collect clusters from both strands first; extension caps come from
     # the neighbouring clusters' reference spans (postnuc behaviour).
-    clusters: list[tuple[bool, np.ndarray, np.ndarray, np.ndarray]] = []
-    strand_matches = {}
-    for reverse in (False, True):
+    # Both the strand seeding (native suffix array / LCP) and the
+    # per-cluster banded DP release the GIL inside ctypes, so thread
+    # pools parallelise them across host cores; results are assembled in
+    # the same deterministic order as the sequential loops.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _strand(reverse: bool):
         q_codes = complement_codes(qry)[::-1].copy() if reverse else qry
-        strand_matches[reverse] = q_codes
         r, q, ln = maximal_matches(
             ref, q_codes, min_match, unique_ref=unique, unique_qry=unique
         )
-        for idx in cluster_matches(r, q, ln):
-            clusters.append((reverse, r[idx], q[idx], ln[idx]))
+        return q_codes, [
+            (reverse, r[idx], q[idx], ln[idx])
+            for idx in cluster_matches(r, q, ln)
+        ]
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        per_strand = list(pool.map(_strand, (False, True)))
+    strand_matches = {rev: per_strand[rev][0] for rev in (False, True)}
+    clusters = [cl for _codes, cls in per_strand for cl in cls]
+
+    import os
+
+    workers = min(8, os.cpu_count() or 1)
+    if workers > 1 and len(clusters) > 4:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            blocks = list(
+                pool.map(
+                    lambda c: _align_cluster(
+                        ref, strand_matches[c[0]], c[1], c[2], c[3]
+                    ),
+                    clusters,
+                )
+            )
+    else:
+        blocks = [
+            _align_cluster(ref, strand_matches[rev], r, q, ln)
+            for rev, r, q, ln in clusters
+        ]
 
     alignments: list[Alignment] = []
-    for reverse, r, q, ln in clusters:
-        block = _align_cluster(ref, strand_matches[reverse], r, q, ln)
+    for (reverse, _r, _q, _ln), block in zip(clusters, blocks):
         if block is None:
             continue
         if reverse:
