@@ -102,15 +102,22 @@ def main() -> None:
 
     t0 = time.time()
     max_hash = max_hash_for_scaled(scaled)
-    sketches = []
-    for codes in genomes:
+
+    def _sketch_one(codes):
         h = sketch_codes_native(codes, ksize, max_hash)
         if h is None:  # pragma: no cover - no compiler
             from pyani_plus_tpu.ops.kmers import canonical_kmer_hashes
 
             h = canonical_kmer_hashes(codes, ksize)
             h = h[h <= np.uint64(max_hash)]
-        sketches.append(np.unique(h))
+        return np.unique(h)
+
+    # The native murmur kernel releases the GIL, so genomes sketch in
+    # parallel across host cores.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) as pool:
+        sketches = list(pool.map(_sketch_one, genomes))
     t_sketch = time.time() - t0
 
     # Device all-pairs containment: compact ids -> on-device one-hot ->

@@ -15,25 +15,22 @@
 //   - free-end best updates on strictly-greater score, or equal score
 //     with larger i+j (prefer longer extensions).
 //
+// Layout: struct-of-arrays int32 state (scores bounded by 3*|seq| <<
+// 2^31), two row buffers swapped per row, and ONE fused pass per row:
+// nM/nD at k need only the previous row, nI at k needs only nM/nD at
+// k' < k (running prefix max), and the free-end best scan folds into
+// the same loop. Out-of-band cells are killed explicitly so stale
+// buffer contents never leak into the next row's reads.
+//
 // Build: g++ -O3 -shared -fPIC band.cpp -o libband.so
 
+#include <cstddef>
 #include <cstdint>
 #include <vector>
 
 namespace {
-constexpr int64_t NEG = -1000000000LL;
-
-struct Cell {
-  int64_t s, e, g;  // score, errors, gap columns
-};
-
-inline Cell best3(const Cell &m, const Cell &d, const Cell &i) {
-  // tie preference M >= D >= I
-  Cell out = m;
-  if (d.s > out.s) out = d;
-  if (i.s > out.s) out = i;
-  return out;
-}
+constexpr int32_t NEG = -1000000000;
+constexpr int32_t NEG_HALF = NEG / 2;
 }  // namespace
 
 extern "C" {
@@ -48,36 +45,46 @@ void band_affine(const uint8_t *a, int64_t m, const uint8_t *b, int64_t n,
                  int64_t band, int free_end, int match, int mismatch,
                  int open_, int extend, int64_t stop_rows, int64_t *out) {
   const int64_t width = 2 * band + 1;
-  std::vector<Cell> M(width), D(width), I(width);
-  std::vector<Cell> nM(width), nD(width), nI(width);
+  // 9 state arrays x 2 row buffers, one allocation.
+  std::vector<int32_t> buf((size_t)(18 * width), 0);
+  int32_t *Ms = buf.data(), *Me = Ms + width, *Mg = Me + width;
+  int32_t *Ds = Mg + width, *De = Ds + width, *Dg = De + width;
+  int32_t *Is = Dg + width, *Ie = Is + width, *Ig = Ie + width;
+  int32_t *nMs = Ig + width, *nMe = nMs + width, *nMg = nMe + width;
+  int32_t *nDs = nMg + width, *nDe = nDs + width, *nDg = nDe + width;
+  int32_t *nIs = nDg + width, *nIe = nIs + width, *nIg = nIe + width;
 
   auto center = [&](int64_t i) -> int64_t {
     return free_end ? i : (i * n) / m;
   };
 
-  const Cell dead{NEG, 0, 0};
   const int64_t c0 = center(0);
   for (int64_t k = 0; k < width; k++) {
     const int64_t j = k + (c0 - band);
-    M[k] = D[k] = I[k] = dead;
+    Ms[k] = Ds[k] = Is[k] = NEG;
+    Me[k] = Mg[k] = De[k] = Dg[k] = Ie[k] = Ig[k] = 0;
     if (j == 0) {
-      M[k] = Cell{0, 0, 0};  // origin lives in M by convention
+      Ms[k] = 0;  // origin lives in M by convention
     } else if (j > 0 && j <= n) {
-      I[k] = Cell{open_ + (int64_t)extend * (j - 1), j, j};
+      Is[k] = open_ + extend * (int32_t)(j - 1);
+      Ie[k] = Ig[k] = (int32_t)j;
     }
   }
-  int64_t best_i = 0, best_j = 0, best_s = 0, best_e = 0, best_g = 0;
+  int64_t best_i = 0, best_j = 0;
+  int32_t best_s = 0, best_e = 0, best_g = 0;
   int64_t rows_since_improve = 0;
   if (free_end) {
     for (int64_t k = 0; k < width; k++) {
-      const Cell c = best3(M[k], D[k], I[k]);
+      int32_t cs = Ms[k], ce = Me[k], cg = Mg[k];
+      if (Ds[k] > cs) { cs = Ds[k]; ce = De[k]; cg = Dg[k]; }
+      if (Is[k] > cs) { cs = Is[k]; ce = Ie[k]; cg = Ig[k]; }
       const int64_t j = k + (c0 - band);
-      if (c.s > best_s || (c.s == best_s && 0 + j > best_i + best_j)) {
+      if (cs > best_s || (cs == best_s && j > best_i + best_j)) {
         best_i = 0;
         best_j = j;
-        best_s = c.s;
-        best_e = c.e;
-        best_g = c.g;
+        best_s = cs;
+        best_e = ce;
+        best_g = cg;
       }
     }
   }
@@ -86,80 +93,103 @@ void band_affine(const uint8_t *a, int64_t m, const uint8_t *b, int64_t n,
     const int64_t ci = center(i), cp = center(i - 1);
     const int64_t shift = ci - cp;
     const uint8_t ac = a[i - 1];
+    const int64_t base_j = ci - band;
+    int64_t k_lo = base_j < 0 ? -base_j : 0;
+    int64_t k_hi = n - base_j;
+    if (k_hi > width - 1) k_hi = width - 1;
 
-    for (int64_t k = 0; k < width; k++) {
-      const int64_t j = k + (ci - band);
-      const bool valid = j >= 0 && j <= n;
-      nM[k] = nD[k] = nI[k] = dead;
-      if (!valid) continue;
-      // previous-row slots for this j (diag = j-1, up = j)
+    // Kill out-of-band cells so the next row never reads stale state.
+    for (int64_t k = 0; k < k_lo && k < width; k++)
+      nMs[k] = nDs[k] = nIs[k] = NEG, nMe[k] = nMg[k] = nDe[k] = nDg[k] =
+          nIe[k] = nIg[k] = 0;
+    for (int64_t k = (k_hi < -1 ? 0 : k_hi + 1); k < width; k++)
+      nMs[k] = nDs[k] = nIs[k] = NEG, nMe[k] = nMg[k] = nDe[k] = nDg[k] =
+          nIe[k] = nIg[k] = 0;
+
+    int64_t run_max = (int64_t)NEG, run_src = -1;
+    bool improved = false;
+    for (int64_t k = k_lo; k <= k_hi; k++) {
+      const int64_t j = k + base_j;
+      // --- M: diagonal predecessor best3 + substitution
+      int32_t m_s = NEG, m_e = 0, m_g = 0;
       const int64_t di = k + shift - 1;
-      const int64_t ui = k + shift;
       if (j >= 1 && di >= 0 && di < width) {
-        const Cell p = best3(M[di], D[di], I[di]);
-        if (p.s > NEG / 2) {
+        int32_t ps = Ms[di], pe = Me[di], pg = Mg[di];
+        if (Ds[di] > ps) { ps = Ds[di]; pe = De[di]; pg = Dg[di]; }
+        if (Is[di] > ps) { ps = Is[di]; pe = Ie[di]; pg = Ig[di]; }
+        if (ps > NEG_HALF) {
           const uint8_t bc = b[j - 1];
           const bool sub_ok = (bc == ac) && ac < 4 && bc < 4;
-          nM[k] = Cell{p.s + (sub_ok ? match : mismatch),
-                       p.e + (sub_ok ? 0 : 1), p.g};
+          m_s = ps + (sub_ok ? match : mismatch);
+          m_e = pe + (sub_ok ? 0 : 1);
+          m_g = pg;
         }
       }
+      nMs[k] = m_s; nMe[k] = m_e; nMg[k] = m_g;
+      // --- D: vertical; open from max(M, I), continue from D
+      int32_t d_s = NEG, d_e = 0, d_g = 0;
+      const int64_t ui = k + shift;
       if (ui >= 0 && ui < width) {
-        // open from max(M, I); tie prefers continuation (extend)
-        Cell om = M[ui];
-        if (I[ui].s > om.s) om = I[ui];
-        const int64_t open_s = om.s > NEG / 2 ? om.s + open_ : NEG;
-        const int64_t cont_s = D[ui].s > NEG / 2 ? D[ui].s + extend : NEG;
+        int32_t om_s = Ms[ui], om_e = Me[ui], om_g = Mg[ui];
+        if (Is[ui] > om_s) { om_s = Is[ui]; om_e = Ie[ui]; om_g = Ig[ui]; }
+        const int32_t open_s = om_s > NEG_HALF ? om_s + open_ : NEG;
+        const int32_t cont_s = Ds[ui] > NEG_HALF ? Ds[ui] + extend : NEG;
         if (cont_s >= open_s) {
-          if (cont_s > NEG / 2)
-            nD[k] = Cell{cont_s, D[ui].e + 1, D[ui].g + 1};
+          if (cont_s > NEG_HALF) {
+            d_s = cont_s; d_e = De[ui] + 1; d_g = Dg[ui] + 1;
+          }
         } else {
-          nD[k] = Cell{open_s, om.e + 1, om.g + 1};
+          d_s = open_s; d_e = om_e + 1; d_g = om_g + 1;
         }
       }
-    }
-    // I state: horizontal runs within the row from base = max(M, D).
-    // I[k] = max_{k'<k} base[k'] + open + extend*(k-k'-1)
-    //      = extend*k + max_{k'<k} (base[k'] + open - extend*(k'+1))
-    // with the latest k' achieving the running max as source.
-    int64_t run_max = NEG, run_src = -1;
-    for (int64_t k = 0; k < width; k++) {
-      const int64_t j = k + (ci - band);
-      if (j >= 1 && j <= n && run_src >= 0) {
+      nDs[k] = d_s; nDe[k] = d_e; nDg[k] = d_g;
+      // --- I: horizontal run from base = max(M, D) at k' < k
+      // I[k] = extend*k + max_{k'<k} (base[k'] + open - extend*(k'+1)),
+      // latest k' achieving the running max as source.
+      int32_t i_s = NEG, i_e = 0, i_g = 0;
+      if (j >= 1 && run_src >= 0) {
         const int64_t s = run_max + (int64_t)extend * k;
-        if (s > NEG / 2) {
-          const Cell &src =
-              nM[run_src].s >= nD[run_src].s ? nM[run_src] : nD[run_src];
-          nI[k] = Cell{s, src.e + (k - run_src), src.g + (k - run_src)};
+        if (s > NEG_HALF) {
+          i_s = (int32_t)s;
+          if (nMs[run_src] >= nDs[run_src]) {
+            i_e = nMe[run_src] + (int32_t)(k - run_src);
+            i_g = nMg[run_src] + (int32_t)(k - run_src);
+          } else {
+            i_e = nDe[run_src] + (int32_t)(k - run_src);
+            i_g = nDg[run_src] + (int32_t)(k - run_src);
+          }
         }
       }
-      const Cell &bse = nM[k].s >= nD[k].s ? nM[k] : nD[k];
-      if (bse.s > NEG / 2) {
-        const int64_t key = bse.s + open_ - (int64_t)extend * (k + 1);
+      nIs[k] = i_s; nIe[k] = i_e; nIg[k] = i_g;
+      // update the running key max with this cell's base
+      const int32_t bse_s = m_s >= d_s ? m_s : d_s;
+      if (bse_s > NEG_HALF) {
+        const int64_t key = (int64_t)bse_s + open_ - (int64_t)extend * (k + 1);
         if (key >= run_max) {
           run_max = key;
           run_src = k;
         }
       }
-    }
-    M.swap(nM);
-    D.swap(nD);
-    I.swap(nI);
-
-    if (free_end) {
-      bool improved = false;
-      for (int64_t k = 0; k < width; k++) {
-        const Cell c = best3(M[k], D[k], I[k]);
-        const int64_t j = k + (ci - band);
-        if (c.s > best_s || (c.s == best_s && i + j > best_i + best_j)) {
+      // --- free-end best scan, fused
+      if (free_end) {
+        int32_t cs = m_s, ce = m_e, cg = m_g;
+        if (d_s > cs) { cs = d_s; ce = d_e; cg = d_g; }
+        if (i_s > cs) { cs = i_s; ce = i_e; cg = i_g; }
+        if (cs > best_s || (cs == best_s && i + j > best_i + best_j)) {
           best_i = i;
           best_j = j;
-          best_s = c.s;
-          best_e = c.e;
-          best_g = c.g;
+          best_s = cs;
+          best_e = ce;
+          best_g = cg;
           improved = true;
         }
       }
+    }
+    std::swap(Ms, nMs); std::swap(Me, nMe); std::swap(Mg, nMg);
+    std::swap(Ds, nDs); std::swap(De, nDe); std::swap(Dg, nDg);
+    std::swap(Is, nIs); std::swap(Ie, nIe); std::swap(Ig, nIg);
+
+    if (free_end) {
       if (improved) rows_since_improve = 0;
       else if (stop_rows > 0 && ++rows_since_improve >= stop_rows) break;
     }
@@ -175,14 +205,18 @@ void band_affine(const uint8_t *a, int64_t m, const uint8_t *b, int64_t n,
   }
   const int64_t cm = center(m);
   const int64_t k = n - (cm - band);
-  Cell fin = dead;
-  if (k >= 0 && k < width) fin = best3(M[k], D[k], I[k]);
-  if (fin.s > NEG / 2) {
+  int32_t fs = NEG, fe = 0, fg = 0;
+  if (k >= 0 && k < width) {
+    fs = Ms[k]; fe = Me[k]; fg = Mg[k];
+    if (Ds[k] > fs) { fs = Ds[k]; fe = De[k]; fg = Dg[k]; }
+    if (Is[k] > fs) { fs = Is[k]; fe = Ie[k]; fg = Ig[k]; }
+  }
+  if (fs > NEG_HALF) {
     out[0] = m;
     out[1] = n;
-    out[2] = fin.s;
-    out[3] = fin.e;
-    out[4] = fin.g;
+    out[2] = fs;
+    out[3] = fe;
+    out[4] = fg;
   } else {
     out[0] = m;
     out[1] = n;

@@ -104,15 +104,21 @@ def intersection_matrix_host(sketches: list[Sketch]) -> np.ndarray:
 
 
 def intersection_matrix_device(
-    sketches: list[Sketch], *, block: int = 2048
+    sketches: list[Sketch], *, block: int = 4096
 ) -> np.ndarray:
     """All-pairs |A n B| on the TPU MXU via blocked membership matmuls.
 
-    Sketches ship to the device once as compact per-genome union-id lists
-    (padded int32) -- a few hundred KB, not the dense matrix. Per hash
-    block, a one-hot scatter builds the (N, block) {0,1} membership on
-    device and the MXU computes the partial Gram; XLA accumulates across
-    blocks. Exact for counts < 2^24 (float32 integers).
+    The union of hashes is cut into contiguous id blocks. Each block's
+    (genome, id) incidence pairs ship as one padded (nblocks, p_max)
+    int32 array of flat scatter indices; a single jitted ``lax.scan``
+    then, per block, scatter-adds the {0,1} membership (1D scatter --
+    the form that lowers well on TPU), reshapes to (N, block) bfloat16,
+    and accumulates the Gram ``counts += M @ M.T`` on the MXU with
+    float32 accumulation. One dispatch for the whole matrix -- no
+    per-block host round trips (the old per-block jit calls dominated
+    wall time over the tunneled device). Products are 0/1 so bfloat16
+    operands are exact; counts stay exact below 2^24 in the float32
+    accumulator.
     """
     import jax
     import jax.numpy as jnp
@@ -128,30 +134,45 @@ def intersection_matrix_device(
     u = union.size
     nblocks = -(-u // block)
 
-    # Compact per-genome id lists, padded with -1 (sketch hashes are
-    # unique per genome, so membership is 0/1 by construction).
-    s_max = max(sizes)
-    ids = np.full((n, s_max), -1, dtype=np.int32)
-    offset = 0
-    for i, size in enumerate(sizes):
-        ids[i, :size] = inverse[offset : offset + size]
-        offset += size
+    # (genome, id) incidence pairs grouped by id block. ``inverse`` is
+    # already ordered id-major after the stable argsort, so each block's
+    # pairs are a contiguous slice.
+    rows = np.repeat(np.arange(n, dtype=np.int64), sizes)
+    order = np.argsort(inverse, kind="stable")
+    ids_sorted = inverse[order]
+    rows_sorted = rows[order]
+    per_block = np.bincount(ids_sorted // block, minlength=nblocks)
+    p_max = int(per_block.max())
+    # Flat index into the (n * block) membership vector; the pad value
+    # n * block scatters into a sacrificial extra slot.
+    flat = (rows_sorted * block + (ids_sorted % block)).astype(np.int32)
+    pts = np.full((nblocks, p_max), n * block, dtype=np.int32)
+    offsets = np.concatenate(([0], np.cumsum(per_block)))
+    for b in range(nblocks):
+        seg = flat[offsets[b] : offsets[b + 1]]
+        pts[b, : seg.size] = seg
 
     @jax.jit
-    def gram_block(counts, ids_dev, b_start):
-        # Membership by comparison, not scatter: scatters of this width
-        # compile pathologically on TPU, while the (n, s_max, block)
-        # equality broadcast + any-reduce is VPU-friendly and compiles
-        # in ~1s. Padding ids are -1 and never match a block id.
-        blk = b_start + jnp.arange(block, dtype=jnp.int32)
-        m = (ids_dev[:, :, None] == blk[None, None, :]).any(axis=1)
-        mf = m.astype(jnp.float32)
-        return counts + jnp.dot(mf, mf.T, preferred_element_type=jnp.float32)
+    def all_blocks(pts_dev):
+        def body(counts, pts_b):
+            mem = (
+                jnp.zeros((n * block + 1,), jnp.bfloat16)
+                .at[pts_b]
+                .set(jnp.bfloat16(1))
+            )
+            mf = mem[:-1].reshape(n, block)
+            return (
+                counts
+                + jnp.dot(mf, mf.T, preferred_element_type=jnp.float32),
+                None,
+            )
 
-    ids_dev = jnp.asarray(ids)
-    counts = jnp.zeros((n, n), jnp.float32)
-    for b in range(nblocks):
-        counts = gram_block(counts, ids_dev, jnp.int32(b * block))
+        counts, _ = jax.lax.scan(
+            body, jnp.zeros((n, n), jnp.float32), pts_dev
+        )
+        return counts
+
+    counts = all_blocks(jnp.asarray(pts))
     return np.asarray(counts).astype(np.int64)
 
 

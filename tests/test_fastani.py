@@ -143,3 +143,46 @@ def test_bacterial_divergent_pair_tolerance() -> None:
     assert total == 1825
     assert abs(ani - 82.9124) < 0.45
     assert abs(matches - 877) < 105
+
+
+def test_bacterial_full_matrix_tolerance() -> None:
+    """All 16 bacterial pairs vs the fastANI fixture matrix.
+
+    Affordable since the native mapping kernels (~1-2 s/pair); locks the
+    CI-calibrated acceptance globally: identity within 0.45 ANI points
+    of the fastANI binary on every pair, self pairs exactly 100 modulo
+    fastANI's own N-run anomaly (which the fixture matrix carries).
+    """
+    d = Path("/root/reference/tests/fixtures/bacterial_example")
+    if not d.is_dir():
+        pytest.skip("reference fixtures not available")
+    import pandas as pd
+
+    from pyani_plus_tpu.genomes import decode_sequence, load_genome
+    from pyani_plus_tpu.methods.fastani import compute_pair
+    from pyani_plus_tpu.ops.fastani_map import FRAG_LEN, KMER_SIZE, RefIndex
+    from pyani_plus_tpu.utils import file_md5sum
+
+    fastas = sorted(
+        p for pat in ("*.fasta.gz", "*.fna.gz", "*.fas.gz") for p in d.glob(pat)
+    )
+    genomes = {p.name.split(".")[0]: load_genome(p) for p in fastas}
+    expected = (
+        pd.read_csv(d / "matrices" / "fastANI_identity.tsv", sep="\t", index_col=0)
+        .sort_index(axis=0)
+        .sort_index(axis=1)
+    )
+    worst = 0.0
+    for s_name, subject in genomes.items():
+        index = RefIndex.build(
+            [decode_sequence(r.codes) for r in subject.records]
+        )
+        for q_name, query in genomes.items():
+            res = compute_pair(
+                query, index, subject.length, FRAG_LEN, KMER_SIZE, 0.2
+            )
+            assert res is not None, (q_name, s_name)
+            ani = res[0]
+            exp = float(expected.loc[q_name, s_name]) * 100.0
+            worst = max(worst, abs(ani - exp))
+            assert abs(ani - exp) < 0.45, (q_name, s_name, ani, exp)
