@@ -90,14 +90,18 @@ MAX_EXTENSION = 9999  # postnuc caps outward extension length (fitted
 # viral pair stop at exactly 9999 bases past the terminal anchors)
 
 
-def _align_cluster(
+def _chain_and_fill(
     ref: np.ndarray,
     qry: np.ndarray,
     r: np.ndarray,
     q: np.ndarray,
     ln: np.ndarray,
-) -> Alignment | None:
-    """Turn one anchor cluster into an alignment block with error count."""
+) -> tuple[int, int, int, int, int, int] | None:
+    """Chain one cluster and fill inter-anchor gaps (host phase).
+
+    Returns (errors, gapcols, rs, qs, prev_re, prev_qe); the outward
+    extensions happen separately so they can batch onto the device.
+    """
     chain = _consistent_chain(r, q, ln)
     if not chain:
         return None
@@ -119,27 +123,89 @@ def _align_cluster(
         errors += g_err
         gapcols += g_gap
         prev_re, prev_qe = ri + li, qi + li
+    return errors, gapcols, rs, qs, prev_re, prev_qe
 
-    # Outward extensions (max-score stop, length-capped like postnuc)
+
+EXT_BAND = 60  # extend_errors' band; device lanes share it (extend.py:234)
+EXT_BREAKLEN = 200
+# The batched device extension path (ops/extend_jax.py) is bit-exact and
+# parity-tested, but on the current single tunneled v5e its per-row HLO
+# loop overhead loses to the native host kernel at realistic batch
+# sizes (and the largest shapes hit a TPU-runtime fault). Off by
+# default until the row loop moves inside a Pallas kernel with VMEM-
+# resident states; PYANI_TPU_EXTEND_BATCH_MIN opts in.
+EXT_BATCH_MIN = 1 << 30
+
+
+def _extension_tasks(
+    fill: tuple[int, int, int, int, int, int],
+    ref: np.ndarray,
+    qry: np.ndarray,
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """The two outward-extension (a, b) tail pairs of one chained cluster."""
+    _err, _gap, rs, qs, prev_re, prev_qe = fill
     left_budget = min(rs, MAX_EXTENSION)
     right_budget = min(ref.size - prev_re, MAX_EXTENSION)
-    ext_l_r, ext_l_q, ext_l_err, ext_l_gap = extend_errors(
-        ref[rs - left_budget : rs][::-1].copy(),
-        qry[max(0, qs - MAX_EXTENSION) : qs][::-1].copy(),
-    )
-    ext_r_r, ext_r_q, ext_r_err, ext_r_gap = extend_errors(
-        ref[prev_re : prev_re + right_budget].copy(),
-        qry[prev_qe : prev_qe + MAX_EXTENSION].copy(),
-    )
-    errors += ext_l_err + ext_r_err
-    gapcols += ext_l_gap + ext_r_gap
+    return [
+        (
+            ref[rs - left_budget : rs][::-1].copy(),
+            qry[max(0, qs - MAX_EXTENSION) : qs][::-1].copy(),
+        ),
+        (
+            ref[prev_re : prev_re + right_budget].copy(),
+            qry[prev_qe : prev_qe + MAX_EXTENSION].copy(),
+        ),
+    ]
+
+
+def _run_extensions(
+    tasks: list[tuple[np.ndarray, np.ndarray]],
+) -> list[tuple[int, int, int, int]]:
+    """Batch free-end extensions: device lanes when the batch is large,
+    per-task native kernel otherwise. Bit-identical either way
+    (ops/extend_jax.py parity contract)."""
+    import os
+
+    device_idx: list[int] = []
+    device_tasks: list[tuple[np.ndarray, np.ndarray]] = []
+    results: list[tuple[int, int, int, int] | None] = [None] * len(tasks)
+    min_batch = int(os.environ.get("PYANI_TPU_EXTEND_BATCH_MIN", EXT_BATCH_MIN))
+    for idx, (a, b) in enumerate(tasks):
+        if a.size and b.size:
+            limit = min(a.size, b.size) + EXT_BREAKLEN
+            a_t, b_t = a[:limit], b[:limit]
+            if max(a_t.size, b_t.size) >= EXT_BAND:
+                device_idx.append(idx)
+                device_tasks.append((a_t, b_t))
+    if len(device_tasks) >= min_batch:
+        from pyani_plus_tpu.ops.extend_jax import batch_extend_errors
+
+        for idx, res in zip(
+            device_idx,
+            batch_extend_errors(device_tasks, stop_rows=3 * EXT_BREAKLEN),
+        ):
+            results[idx] = res
+    for idx, (a, b) in enumerate(tasks):
+        if results[idx] is None:
+            results[idx] = extend_errors(a, b)
+    return results  # type: ignore[return-value]
+
+
+def _assemble_alignment(
+    fill: tuple[int, int, int, int, int, int],
+    ext_left: tuple[int, int, int, int],
+    ext_right: tuple[int, int, int, int],
+) -> Alignment:
+    errors, gapcols, rs, qs, prev_re, prev_qe = fill
+    ext_l_r, ext_l_q, ext_l_err, ext_l_gap = ext_left
+    ext_r_r, ext_r_q, ext_r_err, ext_r_gap = ext_right
     return Alignment(
         ref_start=rs - ext_l_r,
         ref_end=prev_re + ext_r_r,
         qry_start=qs - ext_l_q,
         qry_end=prev_qe + ext_r_q,
-        errors=errors,
-        gap_columns=gapcols,
+        errors=errors + ext_l_err + ext_r_err,
+        gap_columns=gapcols + ext_l_gap + ext_r_gap,
     )
 
 
@@ -181,19 +247,40 @@ def align_sequences(
     workers = min(8, os.cpu_count() or 1)
     if workers > 1 and len(clusters) > 4:
         with ThreadPoolExecutor(max_workers=workers) as pool:
-            blocks = list(
+            fills = list(
                 pool.map(
-                    lambda c: _align_cluster(
+                    lambda c: _chain_and_fill(
                         ref, strand_matches[c[0]], c[1], c[2], c[3]
                     ),
                     clusters,
                 )
             )
     else:
-        blocks = [
-            _align_cluster(ref, strand_matches[rev], r, q, ln)
+        fills = [
+            _chain_and_fill(ref, strand_matches[rev], r, q, ln)
             for rev, r, q, ln in clusters
         ]
+
+    # Outward extensions of every chained cluster, batched together (the
+    # device path runs all lanes in one dispatch when the batch is big).
+    tasks: list[tuple[np.ndarray, np.ndarray]] = []
+    task_of: list[int | None] = []
+    for (reverse, _r, _q, _ln), fill in zip(clusters, fills):
+        if fill is None:
+            task_of.append(None)
+            continue
+        task_of.append(len(tasks))
+        tasks.extend(_extension_tasks(fill, ref, strand_matches[reverse]))
+    ext_results = _run_extensions(tasks)
+
+    blocks: list[Alignment | None] = []
+    for fill, base in zip(fills, task_of):
+        if fill is None or base is None:
+            blocks.append(None)
+            continue
+        blocks.append(
+            _assemble_alignment(fill, ext_results[base], ext_results[base + 1])
+        )
 
     alignments: list[Alignment] = []
     for (reverse, _r, _q, _ln), block in zip(clusters, blocks):

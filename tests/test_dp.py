@@ -59,3 +59,56 @@ def test_jax_score_parity() -> None:
         st = local_align_stats(qs[i], ss[i])
         expected = 0 if st is None else st.score
         assert jax_scores[i] == expected, i
+
+
+def test_batch_extend_device_parity() -> None:
+    """Batched free-end extension lanes match the native kernel bit-for-bit.
+
+    Covers the give-up rule, N codes, uneven lane lengths, and lane/row
+    padding (ops/extend_jax.py exactness contract).
+    """
+    import numpy as np
+
+    from pyani_plus_tpu.native import band_dp_native
+    from pyani_plus_tpu.ops.extend import EXTEND, MATCH, MISMATCH, OPEN
+    from pyani_plus_tpu.ops.extend_jax import batch_extend_errors
+
+    rng = np.random.default_rng(23)
+    tasks = []
+    for _ in range(24):
+        m = int(rng.integers(60, 1200))
+        n = int(rng.integers(60, 1200))
+        a = rng.integers(0, 5, m).astype(np.uint8)
+        b = rng.integers(0, 4, n).astype(np.uint8)
+        if rng.random() < 0.6:
+            span = min(m, n)
+            b[:span] = a[:span] % 4
+            mut = rng.random(span) < 0.1
+            b[:span][mut] = (b[:span][mut] + 1) % 4
+        tasks.append((a, b))
+    got = batch_extend_errors(tasks, stop_rows=600)
+    for idx, (a, b) in enumerate(tasks):
+        i, j, _score, err, gap = band_dp_native(
+            a, b, 60, True, MATCH, MISMATCH, OPEN, EXTEND, 600
+        )
+        assert tuple(got[idx]) == (i, j, err, gap)
+
+
+def test_anim_device_extension_pipeline_parity(monkeypatch) -> None:
+    """Forcing the device extension path leaves ANIm results unchanged."""
+    from pathlib import Path
+
+    import pytest
+
+    d = Path("/root/reference/tests/fixtures/viral_example")
+    if not d.is_dir():
+        pytest.skip("reference fixtures not available")
+    from pyani_plus_tpu.genomes import load_genome
+    from pyani_plus_tpu.methods.anim import compute_pair
+
+    fastas = sorted(d.glob("*.f*"))[:2]
+    q, s = (load_genome(p) for p in fastas)
+    host = compute_pair(q, s)
+    monkeypatch.setenv("PYANI_TPU_EXTEND_BATCH_MIN", "1")
+    dev = compute_pair(q, s)
+    assert host == dev
