@@ -46,6 +46,39 @@ KA_K = 0.41
 
 WINDOW_MARGIN = 150  # subject window slack around the seed band
 
+# blastn's gapped X-drop (xdrop_gap 30 bits ~ 33 raw at lambda 0.625)
+# abandons an extension crossing a run of Ns once the dip exceeds it:
+# L consecutive ambiguous columns cost 3L raw, so runs of >= 12 can
+# never be crossed and the HSP splits there. The reference's 28-N
+# self-pair test depends on this: the N fragment's best HSP covers only
+# 549/1020 < 0.7 and is dropped, leaving ANIb self-identity exactly 1.0
+# (ref tests/test_self_vs_self.py:89). Shorter runs stay in-window and
+# are crossed as mismatches, exactly like blastn.
+N_BREAK_RUN = 12
+
+
+def split_at_n_runs(
+    codes: np.ndarray, min_run: int = N_BREAK_RUN
+) -> list[tuple[int, np.ndarray]]:
+    """(offset, piece) segments of codes split at non-ACGT runs >= min_run."""
+    invalid = codes >= 4
+    if not invalid.any():
+        return [(0, codes)]
+    # Run-length scan over the invalid mask.
+    edges = np.flatnonzero(np.diff(invalid.astype(np.int8)))
+    starts = np.concatenate(([0], edges + 1))
+    ends = np.concatenate((edges + 1, [codes.size]))
+    pieces: list[tuple[int, np.ndarray]] = []
+    seg_start = 0
+    for s, e in zip(starts, ends):
+        if invalid[s] and e - s >= min_run:
+            if s > seg_start:
+                pieces.append((seg_start, codes[seg_start:s]))
+            seg_start = e
+    if codes.size > seg_start:
+        pieces.append((seg_start, codes[seg_start:]))
+    return pieces
+
 
 def configuration(*, fragsize: int = FRAGSIZE) -> dict:
     return {
@@ -87,7 +120,12 @@ def fragment_candidates(
                 w_hi = min(
                     codes.size, diag_hi + strand_frag.size + WINDOW_MARGIN
                 )
-                candidates.append((strand_frag, codes[w_lo:w_hi], w_lo))
+                # Long-N runs are uncrossable for blastn (see N_BREAK_RUN):
+                # enumerate the split pieces so the SW picks the best HSP
+                # on either side, never a merged one.
+                for _f_off, f_piece in split_at_n_runs(strand_frag):
+                    for w_off, w_piece in split_at_n_runs(codes[w_lo:w_hi]):
+                        candidates.append((f_piece, w_piece, w_lo + w_off))
     return candidates
 
 

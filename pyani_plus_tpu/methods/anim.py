@@ -99,13 +99,15 @@ def _chain_and_fill(
 ) -> tuple[int, int, int, int, int, int] | None:
     """Chain one cluster and fill inter-anchor gaps (host phase).
 
-    Returns (errors, gapcols, rs, qs, prev_re, prev_qe); the outward
-    extensions happen separately so they can batch onto the device.
+    Returns (errors, nonid, gapcols, rs, qs, prev_re, prev_qe); the
+    outward extensions happen separately so they can batch onto the
+    device.
     """
     chain = _consistent_chain(r, q, ln)
     if not chain:
         return None
     errors = 0
+    nonid = 0
     gapcols = 0
     rs, qs, l0 = chain[0]
     prev_re, prev_qe = rs + l0, qs + l0
@@ -119,11 +121,12 @@ def _chain_and_fill(
             # never got alignment columns (undercounting errors vs the
             # single-path alignment nucmer emits), so drop it outright.
             continue
-        g_err, g_gap = gap_errors(ref[prev_re:ri_t], qry[prev_qe:qi_t])
+        g_err, g_nid, g_gap = gap_errors(ref[prev_re:ri_t], qry[prev_qe:qi_t])
         errors += g_err
+        nonid += g_nid
         gapcols += g_gap
         prev_re, prev_qe = ri + li, qi + li
-    return errors, gapcols, rs, qs, prev_re, prev_qe
+    return errors, nonid, gapcols, rs, qs, prev_re, prev_qe
 
 
 EXT_BAND = 60  # extend_errors' band; device lanes share it (extend.py:234)
@@ -138,12 +141,12 @@ EXT_BATCH_MIN = 1 << 30
 
 
 def _extension_tasks(
-    fill: tuple[int, int, int, int, int, int],
+    fill: tuple[int, int, int, int, int, int, int],
     ref: np.ndarray,
     qry: np.ndarray,
 ) -> list[tuple[np.ndarray, np.ndarray]]:
     """The two outward-extension (a, b) tail pairs of one chained cluster."""
-    _err, _gap, rs, qs, prev_re, prev_qe = fill
+    _err, _nid, _gap, rs, qs, prev_re, prev_qe = fill
     left_budget = min(rs, MAX_EXTENSION)
     right_budget = min(ref.size - prev_re, MAX_EXTENSION)
     return [
@@ -160,7 +163,7 @@ def _extension_tasks(
 
 def _run_extensions(
     tasks: list[tuple[np.ndarray, np.ndarray]],
-) -> list[tuple[int, int, int, int]]:
+) -> list[tuple[int, int, int, int, int]]:
     """Batch free-end extensions: device lanes when the batch is large,
     per-task native kernel otherwise. Bit-identical either way
     (ops/extend_jax.py parity contract)."""
@@ -168,7 +171,7 @@ def _run_extensions(
 
     device_idx: list[int] = []
     device_tasks: list[tuple[np.ndarray, np.ndarray]] = []
-    results: list[tuple[int, int, int, int] | None] = [None] * len(tasks)
+    results: list[tuple[int, int, int, int, int] | None] = [None] * len(tasks)
     min_batch = int(os.environ.get("PYANI_TPU_EXTEND_BATCH_MIN", EXT_BATCH_MIN))
     for idx, (a, b) in enumerate(tasks):
         if a.size and b.size:
@@ -192,13 +195,13 @@ def _run_extensions(
 
 
 def _assemble_alignment(
-    fill: tuple[int, int, int, int, int, int],
-    ext_left: tuple[int, int, int, int],
-    ext_right: tuple[int, int, int, int],
+    fill: tuple[int, int, int, int, int, int, int],
+    ext_left: tuple[int, int, int, int, int],
+    ext_right: tuple[int, int, int, int, int],
 ) -> Alignment:
-    errors, gapcols, rs, qs, prev_re, prev_qe = fill
-    ext_l_r, ext_l_q, ext_l_err, ext_l_gap = ext_left
-    ext_r_r, ext_r_q, ext_r_err, ext_r_gap = ext_right
+    errors, nonid, gapcols, rs, qs, prev_re, prev_qe = fill
+    ext_l_r, ext_l_q, ext_l_err, ext_l_nid, ext_l_gap = ext_left
+    ext_r_r, ext_r_q, ext_r_err, ext_r_nid, ext_r_gap = ext_right
     return Alignment(
         ref_start=rs - ext_l_r,
         ref_end=prev_re + ext_r_r,
@@ -206,6 +209,7 @@ def _assemble_alignment(
         qry_end=prev_qe + ext_r_q,
         errors=errors + ext_l_err + ext_r_err,
         gap_columns=gapcols + ext_l_gap + ext_r_gap,
+        nonid=nonid + ext_l_nid + ext_r_nid,
     )
 
 
@@ -296,6 +300,7 @@ def align_sequences(
                 errors=block.errors,
                 reverse=True,
                 gap_columns=block.gap_columns,
+                nonid=block.nonid,
             )
         alignments.append(block)
     return alignments

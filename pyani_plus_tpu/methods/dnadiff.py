@@ -91,7 +91,13 @@ def compute_pair(query: Genome, subject: Genome) -> dict:
         aligned_with_gaps += len(q_rec)
         for a in q_blocks:
             columns = a.columns
-            pct = 100.0 * (columns - a.errors) / columns if columns else 0.0
+            # show-coords %idy counts character non-identities: N-vs-N
+            # is the same character (not an error) even though it scores
+            # negatively -- that is why the reference's 28-N self pair is
+            # dnadiff == 1.0 but ANIm == 0.9963 (test_self_vs_self.py:83-86).
+            pct = (
+                100.0 * (columns - a.char_errors) / columns if columns else 0.0
+            )
             pct = float(f"{pct:.2f}")  # show-coords prints 2 decimals
             row_length = a.ref_len + a.qry_len
             sum_identity += pct * row_length / 100

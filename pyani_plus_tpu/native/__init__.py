@@ -305,13 +305,14 @@ def band_dp_native(  # noqa: PLR0913
     gap_extend: int,
     stop_rows: int = 0,
 ):
-    """Native affine banded DP -> (i, j, score, errors, gapcols), or None."""
+    """Native affine banded DP -> (i, j, score, errors, nonid, gapcols),
+    or None."""
     lib = _load_band()
     if lib is None:
         return None
     a = np.ascontiguousarray(a, dtype=np.uint8)
     b = np.ascontiguousarray(b, dtype=np.uint8)
-    out = np.zeros(5, dtype=np.int64)
+    out = np.zeros(6, dtype=np.int64)
     lib.band_affine(
         a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         a.size,

@@ -33,9 +33,19 @@ class Alignment:
     ref_end: int
     qry_start: int
     qry_end: int
-    errors: int  # non-identity columns (mismatches + gap columns)
+    errors: int  # similarity errors: negative-score columns incl. N-vs-N
     reverse: bool = False  # query on the minus strand
     gap_columns: int = 0  # total gap columns (subset of errors)
+    # Character non-identities (nucmer delta header field 1): gap columns
+    # plus substitutions whose characters differ -- N-vs-N is the same
+    # character so it is NOT counted here, unlike in ``errors`` (field 2).
+    # None means "no masked bases involved": identical to ``errors``.
+    nonid: int | None = None
+
+    @property
+    def char_errors(self) -> int:
+        """Non-identity columns (show-coords %idy numerator basis)."""
+        return self.errors if self.nonid is None else self.nonid
 
     @property
     def columns(self) -> int:

@@ -12,9 +12,21 @@ environment); parity is measured in tests.
 
 The DP is anchored at the origin; for gap filling the end cell is also
 anchored, for extension the end is free and the maximum-score cell
-wins. Errors = mismatch + gap columns on the optimal path, carried as
-(errors, gap_columns) payloads through the three Gotoh states rather
-than via traceback. Each row is vectorised over the band (the
+wins. Two error counters ride the optimal path as state payloads
+rather than via traceback (plus the gap-column count):
+
+- ``errors``   -- nucmer's *similarity errors* (delta header field 2):
+  negative-scoring columns, i.e. every gap column plus every
+  substitution that is not an exact A/C/G/T match (so N-vs-N counts);
+  ANIm's identity uses this (ref methods/anim.py:100-127).
+- ``nonid``    -- nucmer's *errors* (delta header field 1): character
+  non-identities, i.e. gap columns plus substitutions whose characters
+  differ (N-vs-N is the SAME character, so it does NOT count); this is
+  what show-coords %idy -- and hence dnadiff AvgIdentity -- is built
+  from, which is why the reference's 28-N self test expects dnadiff
+  == 1.0 but ANIm == 0.9963 (ref tests/test_self_vs_self.py:83-86).
+
+Each row is vectorised over the band (the
 horizontal I state closes via a prefix cummax, since affine cost is
 linear beyond the opening column), so cost is O(rows x band) numpy
 work; the native C++ kernel (native/band.cpp) is bit-identical and is
@@ -45,19 +57,20 @@ def _band_dp(  # noqa: PLR0913, PLR0915
     gap_extend: int = EXTEND,
     stop_rows: int = 0,
     force_numpy: bool = False,
-) -> tuple[int, int, int, int, int]:
-    """Banded affine DP -> (best_i, best_j, best_score, errors, gapcols).
+) -> tuple[int, int, int, int, int, int]:
+    """Banded affine DP -> (best_i, best_j, best_score, errors, nonid,
+    gapcols).
 
     Dispatches to the bit-identical native C++ kernel when available
     (parity-tested); force_numpy pins the numpy path.
     """
     m, n = int(a.size), int(b.size)
     if m == 0 and n == 0:
-        return 0, 0, 0, 0, 0
+        return 0, 0, 0, 0, 0, 0
     if m == 0:
-        return 0, n, gap_open + gap_extend * (n - 1), n, n
+        return 0, n, gap_open + gap_extend * (n - 1), n, n, n
     if n == 0:
-        return m, 0, gap_open + gap_extend * (m - 1), m, m
+        return m, 0, gap_open + gap_extend * (m - 1), m, m, m
     if not force_numpy:
         from pyani_plus_tpu.native import band_dp_native
 
@@ -83,12 +96,13 @@ def _band_dp(  # noqa: PLR0913, PLR0915
         def center(i: int) -> int:
             return (i * n) // m
 
-    def pick(s1, e1, g1, s2, e2, g2):
+    def pick(s1, e1, n1, g1, s2, e2, n2, g2):
         """Elementwise max of two states; first wins ties."""
         take2 = s2 > s1
         return (
             np.where(take2, s2, s1),
             np.where(take2, e2, e1),
+            np.where(take2, n2, n1),
             np.where(take2, g2, g1),
         )
 
@@ -98,21 +112,24 @@ def _band_dp(  # noqa: PLR0913, PLR0915
     negs = np.full(width, NEG, dtype=np.int64)
     # State M holds the origin; I holds the row-0 horizontal runs.
     Ms = np.where(js0 == 0, 0, NEG).astype(np.int64)
-    Me, Mg = zeros.copy(), zeros.copy()
-    Ds, De, Dg = negs.copy(), zeros.copy(), zeros.copy()
+    Me, Mn, Mg = zeros.copy(), zeros.copy(), zeros.copy()
+    Ds, De, Dn, Dg = negs.copy(), zeros.copy(), zeros.copy(), zeros.copy()
     i_ok = (js0 >= 1) & (js0 <= n)
     Is_ = np.where(i_ok, gap_open + gap_extend * (js0 - 1), NEG).astype(np.int64)
     Ie = np.where(i_ok, js0, 0).astype(np.int64)
+    In = Ie.copy()
     Ig = Ie.copy()
 
-    best = (0, 0, 0, 0, 0)
+    best = (0, 0, 0, 0, 0, 0)
     if free_end:
-        cs, ce, cg = pick(*pick(Ms, Me, Mg, Ds, De, Dg), Is_, Ie, Ig)
+        cs, ce, cn, cg = pick(
+            *pick(Ms, Me, Mn, Mg, Ds, De, Dn, Dg), Is_, Ie, In, Ig
+        )
         # Track best with the longer-extension tie rule over all k
         for k in range(width):
             sc = int(cs[k])
             if sc > best[2] or (sc == best[2] and 0 + int(js0[k]) > best[0] + best[1]):
-                best = (0, int(js0[k]), sc, int(ce[k]), int(cg[k]))
+                best = (0, int(js0[k]), sc, int(ce[k]), int(cn[k]), int(cg[k]))
 
     a16 = a.astype(np.int16)
     b16 = b.astype(np.int16)
@@ -132,44 +149,54 @@ def _band_dp(  # noqa: PLR0913, PLR0915
             return out
 
         # M: from best3(prev) diagonally + substitution
-        ps, pe, pg = pick(*pick(Ms, Me, Mg, Ds, De, Dg), Is_, Ie, Ig)
+        ps, pe, pn, pg = pick(
+            *pick(Ms, Me, Mn, Mg, Ds, De, Dn, Dg), Is_, Ie, In, Ig
+        )
         diag_s = shifted(ps, 1, NEG)
         diag_e = shifted(pe, 1, 0)
+        diag_n = shifted(pn, 1, 0)
         diag_g = shifted(pg, 1, 0)
         in_b = valid & (js >= 1)
         bj = np.clip(js - 1, 0, n - 1)
         sub_ok = in_b & (b16[bj] == a16[i - 1]) & (a16[i - 1] < 4) & (b16[bj] < 4)
+        sub_same = in_b & (b16[bj] == a16[i - 1])  # char identity (N==N)
         live = in_b & (diag_s > NEG // 2)
         nMs = np.where(live, diag_s + np.where(sub_ok, match, mismatch), NEG)
         nMe = np.where(live, diag_e + (~sub_ok), 0)
+        nMn = np.where(live, diag_n + (~sub_same), 0)
         nMg = np.where(live, diag_g, 0)
 
         # D: vertical; open from max(M, I) (tie prefers M), continue from D.
-        os_, oe, og = pick(Ms, Me, Mg, Is_, Ie, Ig)
+        os_, oe, on, og = pick(Ms, Me, Mn, Mg, Is_, Ie, In, Ig)
         up_os = shifted(os_, 0, NEG)
         up_oe = shifted(oe, 0, 0)
+        up_on = shifted(on, 0, 0)
         up_og = shifted(og, 0, 0)
         up_ds = shifted(Ds, 0, NEG)
         up_de = shifted(De, 0, 0)
+        up_dn = shifted(Dn, 0, 0)
         up_dg = shifted(Dg, 0, 0)
         open_s = np.where(up_os > NEG // 2, up_os + gap_open, NEG)
         cont_s = np.where(up_ds > NEG // 2, up_ds + gap_extend, NEG)
         take_cont = cont_s >= open_s
         nDs = np.where(take_cont, cont_s, open_s)
         nDe = np.where(take_cont, up_de, up_oe) + 1
+        nDn = np.where(take_cont, up_dn, up_on) + 1
         nDg = np.where(take_cont, up_dg, up_og) + 1
         dead_d = ~valid | (nDs <= NEG // 2)
         nDs = np.where(dead_d, NEG, nDs)
         nDe = np.where(dead_d, 0, nDe)
+        nDn = np.where(dead_d, 0, nDn)
         nDg = np.where(dead_d, 0, nDg)
         nMs = np.where(valid, nMs, NEG)
         nMe = np.where(valid, nMe, 0)
+        nMn = np.where(valid, nMn, 0)
         nMg = np.where(valid, nMg, 0)
 
         # I: horizontal runs within the row from base = max(M, D) (tie M):
         # I[k] = extend*k + max_{k'<k}(base[k'] + open - extend*(k'+1)),
         # latest k' achieving the running max as source.
-        bs, be, bg = pick(nMs, nMe, nMg, nDs, nDe, nDg)
+        bs, be, bn, bg = pick(nMs, nMe, nMn, nMg, nDs, nDe, nDn, nDg)
         key = np.where(bs > NEG // 2, bs + gap_open - gap_extend * (offs + 1), NEG)
         run_max = np.maximum.accumulate(key)
         is_new = key >= run_max
@@ -180,22 +207,25 @@ def _band_dp(  # noqa: PLR0913, PLR0915
         ok_i = valid & (js >= 1) & (left_src >= 0) & (left_max > NEG // 2)
         safe_src = np.clip(left_src, 0, width - 1)
         nIe = np.where(ok_i, be[safe_src] + (offs - safe_src), 0)
+        nIn = np.where(ok_i, bn[safe_src] + (offs - safe_src), 0)
         nIg = np.where(ok_i, bg[safe_src] + (offs - safe_src), 0)
         nIs = np.where(ok_i, nIs, NEG)
 
-        Ms, Me, Mg = nMs, nMe, nMg
-        Ds, De, Dg = nDs, nDe, nDg
-        Is_, Ie, Ig = nIs, nIe, nIg
+        Ms, Me, Mn, Mg = nMs, nMe, nMn, nMg
+        Ds, De, Dn, Dg = nDs, nDe, nDn, nDg
+        Is_, Ie, In, Ig = nIs, nIe, nIn, nIg
 
         if free_end:
-            cs, ce, cg = pick(*pick(Ms, Me, Mg, Ds, De, Dg), Is_, Ie, Ig)
+            cs, ce, cn, cg = pick(
+                *pick(Ms, Me, Mn, Mg, Ds, De, Dn, Dg), Is_, Ie, In, Ig
+            )
             k = int(np.argmax(cs))
             # scan ties for the largest i+j (mirror C++ per-k scan)
             tie = np.nonzero(cs == cs[k])[0]
             k = int(tie[np.argmax(js[tie])])
             sc = int(cs[k])
             if sc > best[2] or (sc == best[2] and i + int(js[k]) > best[0] + best[1]):
-                best = (i, int(js[k]), sc, int(ce[k]), int(cg[k]))
+                best = (i, int(js[k]), sc, int(ce[k]), int(cn[k]), int(cg[k]))
                 rows_since_improve = 0
             else:
                 rows_since_improve += 1
@@ -207,33 +237,37 @@ def _band_dp(  # noqa: PLR0913, PLR0915
     cm = center(m)
     k = n - (cm - band)
     if 0 <= k < width:
-        cs, ce, cg = pick(*pick(Ms, Me, Mg, Ds, De, Dg), Is_, Ie, Ig)
+        cs, ce, cn, cg = pick(
+            *pick(Ms, Me, Mn, Mg, Ds, De, Dn, Dg), Is_, Ie, In, Ig
+        )
         if cs[k] > NEG // 2:
-            return m, n, int(cs[k]), int(ce[k]), int(cg[k])
-    return m, n, NEG, max(m, n), abs(m - n)  # pragma: no cover - band missed corner
+            return m, n, int(cs[k]), int(ce[k]), int(cn[k]), int(cg[k])
+    return (  # pragma: no cover - band missed corner
+        m, n, NEG, max(m, n), max(m, n), abs(m - n)
+    )
 
 
 def gap_errors(
     a: np.ndarray, b: np.ndarray, band: int | None = None
-) -> tuple[int, int]:
-    """(error columns, gap columns) of the end-anchored alignment of two
-    gap segments."""
+) -> tuple[int, int, int]:
+    """(sim error columns, non-identity columns, gap columns) of the
+    end-anchored alignment of two gap segments."""
     if a.size == 0:
-        return int(b.size), int(b.size)
+        return int(b.size), int(b.size), int(b.size)
     if b.size == 0:
-        return int(a.size), int(a.size)
+        return int(a.size), int(a.size), int(a.size)
     if band is None:
         band = max(20, abs(int(a.size) - int(b.size)) + 20)
     band = int(min(band, max(a.size, b.size)))
-    _, _, _, errors, gapcols = _band_dp(a, b, band, free_end=False)
-    return int(errors), int(gapcols)
+    _, _, _, errors, nonid, gapcols = _band_dp(a, b, band, free_end=False)
+    return int(errors), int(nonid), int(gapcols)
 
 
 def extend_errors(
     a: np.ndarray, b: np.ndarray, band: int = 60, breaklen: int = 200
-) -> tuple[int, int, int, int]:
+) -> tuple[int, int, int, int, int]:
     """Extend from the origin into a and b; return (a_len, b_len, errors,
-    gap_columns) of the best-scoring extension (may be all zero).
+    nonid, gap_columns) of the best-scoring extension (may be all zero).
 
     The useful search region is bounded by the shorter tail plus the
     breaklen slack (an extension cannot usefully outrun the nearer
@@ -244,12 +278,12 @@ def extend_errors(
     parity unchanged) while collapsing dead extensions.
     """
     if a.size == 0 or b.size == 0:
-        return 0, 0, 0, 0
+        return 0, 0, 0, 0, 0
     limit = min(a.size, b.size) + breaklen
     a = a[:limit]
     b = b[:limit]
     band = int(min(band, max(a.size, b.size)))
-    i, j, _score, errors, gapcols = _band_dp(
+    i, j, _score, errors, nonid, gapcols = _band_dp(
         a, b, band, free_end=True, stop_rows=3 * breaklen
     )
-    return int(i), int(j), int(errors), int(gapcols)
+    return int(i), int(j), int(errors), int(nonid), int(gapcols)

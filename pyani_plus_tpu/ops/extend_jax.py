@@ -45,8 +45,8 @@ def _row_step(carry, xs, *, band, match, mismatch, gap_open, gap_extend,
     import jax
     import jax.numpy as jnp
 
-    (Ms, Me, Mg, Ds, De, Dg, Is, Ie, Ig,
-     best_i, best_j, best_s, best_e, best_g, rows_since, dead) = carry
+    (Ms, Me, Mn, Mg, Ds, De, Dn, Dg, Is, Ie, In, Ig,
+     best_i, best_j, best_s, best_e, best_n, best_g, rows_since, dead) = carry
     i, ac = xs  # i: row index; ac: (B,) codes a[i-1]
     # The banded j-1 window of b for this row is CONTIGUOUS: j-1 = k+i-
     # band-1, so one dynamic_slice of the padded array (255-filled on
@@ -63,20 +63,24 @@ def _row_step(carry, xs, *, band, match, mismatch, gap_open, gap_extend,
     neg = jnp.int32(NEG)
 
     # --- M: diagonal predecessor (same column, previous row), best3
-    ps, pe, pg = Ms, Me, Mg
+    ps, pe, pn, pg = Ms, Me, Mn, Mg
     take_d = Ds > ps
     ps = jnp.where(take_d, Ds, ps)
     pe = jnp.where(take_d, De, pe)
+    pn = jnp.where(take_d, Dn, pn)
     pg = jnp.where(take_d, Dg, pg)
     take_i = Is > ps
     ps = jnp.where(take_i, Is, ps)
     pe = jnp.where(take_i, Ie, pe)
+    pn = jnp.where(take_i, In, pn)
     pg = jnp.where(take_i, Ig, pg)
     bc = b_row  # codes at j-1, pre-gathered (invalid j masked to 255)
     sub_ok = (bc == ac[:, None]) & (ac[:, None] < 4) & (bc < 4)
+    sub_same = bc == ac[:, None]  # char identity: N==N is not a nonid error
     live_m = valid & (js >= 1) & (ps > neg // 2)
     nMs = jnp.where(live_m, ps + jnp.where(sub_ok, match, mismatch), neg)
     nMe = jnp.where(live_m, pe + (~sub_ok).astype(jnp.int32), 0)
+    nMn = jnp.where(live_m, pn + (~sub_same).astype(jnp.int32), 0)
     nMg = jnp.where(live_m, pg, 0)
 
     # --- D: vertical predecessor is column k+1 of the previous row
@@ -85,28 +89,34 @@ def _row_step(carry, xs, *, band, match, mismatch, gap_open, gap_extend,
             [x[:, 1:], jnp.full((x.shape[0], 1), fill, x.dtype)], axis=1
         )
 
-    om_s, om_e, om_g = Ms, Me, Mg
+    om_s, om_e, om_n, om_g = Ms, Me, Mn, Mg
     ti = Is > om_s
     om_s = jnp.where(ti, Is, om_s)
     om_e = jnp.where(ti, Ie, om_e)
+    om_n = jnp.where(ti, In, om_n)
     om_g = jnp.where(ti, Ig, om_g)
-    up_os, up_oe, up_og = up(om_s, NEG), up(om_e, 0), up(om_g, 0)
-    up_ds, up_de, up_dg = up(Ds, NEG), up(De, 0), up(Dg, 0)
+    up_os, up_oe, up_on, up_og = (
+        up(om_s, NEG), up(om_e, 0), up(om_n, 0), up(om_g, 0)
+    )
+    up_ds, up_de, up_dn, up_dg = up(Ds, NEG), up(De, 0), up(Dn, 0), up(Dg, 0)
     open_s = jnp.where(up_os > neg // 2, up_os + gap_open, neg)
     cont_s = jnp.where(up_ds > neg // 2, up_ds + gap_extend, neg)
     take_cont = cont_s >= open_s
     d_s = jnp.where(take_cont, cont_s, open_s)
     d_e = jnp.where(take_cont, up_de, up_oe) + 1
+    d_n = jnp.where(take_cont, up_dn, up_on) + 1
     d_g = jnp.where(take_cont, up_dg, up_og) + 1
     dead_d = ~valid | (d_s <= neg // 2)
     nDs = jnp.where(dead_d, neg, d_s)
     nDe = jnp.where(dead_d, 0, d_e)
+    nDn = jnp.where(dead_d, 0, d_n)
     nDg = jnp.where(dead_d, 0, d_g)
 
     # --- I: horizontal runs within the row (prefix running max, latest src)
     base_m = nMs >= nDs
     bs = jnp.where(base_m, nMs, nDs)
     be = jnp.where(base_m, nMe, nDe)
+    bn = jnp.where(base_m, nMn, nDn)
     bg = jnp.where(base_m, nMg, nDg)
     key = jnp.where(
         bs > neg // 2, bs + gap_open - gap_extend * (offs[None, :] + 1), neg
@@ -126,20 +136,24 @@ def _row_step(carry, xs, *, band, match, mismatch, gap_open, gap_extend,
     ok_i = valid & (js >= 1) & (left_src >= 0) & (left_max > neg // 2)
     safe_src = jnp.clip(left_src, 0, width - 1)
     gb_e = jnp.take_along_axis(be, safe_src, axis=1)
+    gb_n = jnp.take_along_axis(bn, safe_src, axis=1)
     gb_g = jnp.take_along_axis(bg, safe_src, axis=1)
     nIs = jnp.where(ok_i, i_s, neg)
     nIe = jnp.where(ok_i, gb_e + (offs[None, :] - safe_src), 0)
+    nIn = jnp.where(ok_i, gb_n + (offs[None, :] - safe_src), 0)
     nIg = jnp.where(ok_i, gb_g + (offs[None, :] - safe_src), 0)
 
     # --- best-cell update (ties prefer larger i+j, i.e. larger k)
-    cs, ce, cg = nMs, nMe, nMg
+    cs, ce, cn, cg = nMs, nMe, nMn, nMg
     td = nDs > cs
     cs = jnp.where(td, nDs, cs)
     ce = jnp.where(td, nDe, ce)
+    cn = jnp.where(td, nDn, cn)
     cg = jnp.where(td, nDg, cg)
     ti2 = nIs > cs
     cs = jnp.where(ti2, nIs, cs)
     ce = jnp.where(ti2, nIe, ce)
+    cn = jnp.where(ti2, nIn, cn)
     cg = jnp.where(ti2, nIg, cg)
     row_max = jnp.max(cs, axis=1)
     # largest k among the ties for the row maximum
@@ -148,6 +162,7 @@ def _row_step(carry, xs, *, band, match, mismatch, gap_open, gap_extend,
     j_sel = k_sel + (i - band)
     sel = k_sel[:, None]
     e_sel = jnp.take_along_axis(ce, sel, axis=1)[:, 0]
+    n_sel = jnp.take_along_axis(cn, sel, axis=1)[:, 0]
     g_sel = jnp.take_along_axis(cg, sel, axis=1)[:, 0]
     row_active = (i <= m_lane) & ~dead
     upd = row_active & (
@@ -158,6 +173,7 @@ def _row_step(carry, xs, *, band, match, mismatch, gap_open, gap_extend,
     best_j = jnp.where(upd, j_sel, best_j)
     best_s = jnp.where(upd, row_max, best_s)
     best_e = jnp.where(upd, e_sel, best_e)
+    best_n = jnp.where(upd, n_sel, best_n)
     best_g = jnp.where(upd, g_sel, best_g)
     rows_since = jnp.where(
         ~row_active, rows_since, jnp.where(upd, 0, rows_since + 1)
@@ -166,8 +182,8 @@ def _row_step(carry, xs, *, band, match, mismatch, gap_open, gap_extend,
         dead = dead | (row_active & (rows_since >= stop_rows))
 
     return (
-        (nMs, nMe, nMg, nDs, nDe, nDg, nIs, nIe, nIg,
-         best_i, best_j, best_s, best_e, best_g, rows_since, dead),
+        (nMs, nMe, nMn, nMg, nDs, nDe, nDn, nDg, nIs, nIe, nIn, nIg,
+         best_i, best_j, best_s, best_e, best_n, best_g, rows_since, dead),
         None,
     )
 
@@ -217,7 +233,8 @@ def _get_kernel(band, match, mismatch, gap_open, gap_extend, stop_rows):
         best_j = jnp.where(upd, j_sel, 0)
         best_s = jnp.where(upd, row_max, 0)
         best_e = jnp.where(upd, e_sel, 0)
-        best_g = jnp.where(upd, e_sel, 0)  # row-0 payloads: e == g == j
+        best_n = jnp.where(upd, e_sel, 0)  # row-0 payloads: e == n == g == j
+        best_g = jnp.where(upd, e_sel, 0)
 
         step = partial(
             _row_step,
@@ -247,16 +264,17 @@ def _get_kernel(band, match, mismatch, gap_open, gap_extend, stop_rows):
             return (i0 < m_max) & jnp.any(~dead & (i0 < m_lane))
 
         carry0 = (
-            Ms, zeros, zeros, negs, zeros, zeros, Is, Ie, Ie,
-            best_i, best_j, best_s, best_e, best_g,
+            Ms, zeros, zeros, zeros, negs, zeros, zeros, zeros,
+            Is, Ie, Ie, Ie,
+            best_i, best_j, best_s, best_e, best_n, best_g,
             jnp.zeros((nb,), jnp.int32), jnp.zeros((nb,), bool),
         )
         _, carry = jax.lax.while_loop(
             chunk_cond, chunk_body, (jnp.int32(0), carry0)
         )
-        (_, _, _, _, _, _, _, _, _,
-         bi, bj, bs_, be_, bg_, _, _) = carry
-        return bi, bj, bs_, be_, bg_
+        (_, _, _, _, _, _, _, _, _, _, _, _,
+         bi, bj, bs_, be_, bn_, bg_, _, _) = carry
+        return bi, bj, bs_, be_, bn_, bg_
 
     fn = jax.jit(run)
     _KERNEL_CACHE[key] = fn
@@ -272,10 +290,10 @@ def batch_extend_errors(  # noqa: PLR0913
     gap_open: int = OPEN,
     gap_extend: int = EXTEND,
     stop_rows: int = 600,
-) -> list[tuple[int, int, int, int]]:
+) -> list[tuple[int, int, int, int, int]]:
     """Free-end extensions for a batch of (a, b) code-array tails.
 
-    Returns per task (a_advance, b_advance, errors, gap_columns) with the
+    Returns per task (a_advance, b_advance, errors, nonid, gap_columns) with the
     exact semantics of ops/extend.py::_band_dp(free_end=True). Callers
     must pre-trim tails (extend_errors' ``limit``) and only submit tasks
     where max(len) >= band (so every lane shares the fixed band width).
@@ -312,7 +330,7 @@ def batch_extend_errors(  # noqa: PLR0913
         b_ext[idx, band + 1 : band + 1 + b.size] = b
     fn = _get_kernel(band, match, mismatch, gap_open, gap_extend, stop_rows)
     # Codes ship as uint8 (4x less host->device traffic than int32).
-    bi, bj, _bs, be, bg = fn(
+    bi, bj, _bs, be, bn, bg = fn(
         jnp.asarray(a_pad),
         jnp.asarray(b_ext),
         jnp.asarray(m_lens),
@@ -321,7 +339,9 @@ def batch_extend_errors(  # noqa: PLR0913
     bi = np.asarray(bi)
     bj = np.asarray(bj)
     be = np.asarray(be)
+    bn = np.asarray(bn)
     bg = np.asarray(bg)
     return [
-        (int(bi[t]), int(bj[t]), int(be[t]), int(bg[t])) for t in range(nb)
+        (int(bi[t]), int(bj[t]), int(be[t]), int(bn[t]), int(bg[t]))
+        for t in range(nb)
     ]

@@ -227,10 +227,11 @@ def _plot_classify(  # noqa: PLR0913
 
     fig.suptitle(f"{method} classify summary")
     fig.tight_layout()
+    # Reference file naming: {method}_classify_plot.{ext} (classify.py:425-430)
     for fmt in formats:
         if fmt == "tsv":
             continue
-        fig.savefig(outdir / f"{method}_classify.{fmt}")
+        fig.savefig(outdir / f"{method}_classify_plot.{fmt}")
     plt.close(fig)
 
 

@@ -88,10 +88,10 @@ def test_batch_extend_device_parity() -> None:
         tasks.append((a, b))
     got = batch_extend_errors(tasks, stop_rows=600)
     for idx, (a, b) in enumerate(tasks):
-        i, j, _score, err, gap = band_dp_native(
+        i, j, _score, err, nid, gap = band_dp_native(
             a, b, 60, True, MATCH, MISMATCH, OPEN, EXTEND, 600
         )
-        assert tuple(got[idx]) == (i, j, err, gap)
+        assert tuple(got[idx]) == (i, j, err, nid, gap)
 
 
 def test_anim_device_extension_pipeline_parity(monkeypatch) -> None:
