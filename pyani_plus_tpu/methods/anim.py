@@ -188,9 +188,23 @@ def _run_extensions(
             batch_extend_errors(device_tasks, stop_rows=3 * EXT_BREAKLEN),
         ):
             results[idx] = res
-    for idx, (a, b) in enumerate(tasks):
-        if results[idx] is None:
-            results[idx] = extend_errors(a, b)
+    host_idx = [idx for idx in range(len(tasks)) if results[idx] is None]
+    # The native band-DP kernel releases the GIL inside ctypes, so the
+    # remaining extensions run thread-parallel across host cores;
+    # results land at their task index, keeping order deterministic.
+    workers = min(8, os.cpu_count() or 1)
+    if workers > 1 and len(host_idx) > 4:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            for idx, res in zip(
+                host_idx,
+                pool.map(lambda i: extend_errors(*tasks[i]), host_idx),
+            ):
+                results[idx] = res
+    else:
+        for idx in host_idx:
+            results[idx] = extend_errors(*tasks[idx])
     return results  # type: ignore[return-value]
 
 
