@@ -170,7 +170,10 @@ def intersection_matrix_device(
         counts, _ = jax.lax.scan(
             body, jnp.zeros((n, n), jnp.float32), pts_dev
         )
-        return counts
+        # Fetch as int32: counts are exact integers below 2^24 in the
+        # float32 accumulator, and halving the device->host transfer
+        # matters over the tunneled link (n x n result dominates it).
+        return counts.astype(jnp.int32)
 
     counts = all_blocks(jnp.asarray(pts))
     return np.asarray(counts).astype(np.int64)
