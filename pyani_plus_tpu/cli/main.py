@@ -437,9 +437,7 @@ def list_runs(database: Path, log: Path | None, debug: bool) -> None:
             table.add_column(col)
         for run in db.list_runs():
             n = len(run.genome_hashes)
-            comps = run.comparisons()
-            done = sum(1 for c in comps if c["identity"] is not None)
-            null = sum(1 for c in comps if c["identity"] is None)
+            done, null = run.comparison_status_counts()
             miss = n * n - done - null
             table.add_row(
                 str(run.run_id),

@@ -188,6 +188,31 @@ class Run:
             {"run": self.run_id, "config": self.configuration_id},
         ).fetchone()[0]
 
+    def comparison_status_counts(self) -> tuple[int, int]:
+        """(done, null) comparison counts, computed in SQL.
+
+        The reference counts per-run Done/Null in the database rather
+        than materialising every row in Python (public_cli.py:845-882);
+        at the 1000-genome design point a run holds 10^6 comparison rows
+        and the Python loop is the difference between list-runs being
+        instant or taking seconds per run.
+        """
+        done, null = self._db.conn.execute(
+            """
+            SELECT
+              COALESCE(SUM(c.identity IS NOT NULL), 0),
+              COALESCE(SUM(c.identity IS NULL), 0)
+            FROM comparisons AS c
+            JOIN runs_genomes AS rq
+              ON c.query_hash = rq.genome_hash AND rq.run_id = :run
+            JOIN runs_genomes AS rs
+              ON c.subject_hash = rs.genome_hash AND rs.run_id = :run
+            WHERE c.configuration_id = :config
+            """,
+            {"run": self.run_id, "config": self.configuration_id},
+        ).fetchone()
+        return int(done), int(null)
+
     # -- matrices ----------------------------------------------------------
 
     def cache_comparisons(self) -> None:

@@ -1,21 +1,28 @@
 """Clique-based genome classification over ANI results.
 
-Same algorithm as the reference ``classify.py`` (cited per function):
-build an undirected graph whose nodes are genomes and whose edges
-aggregate the two asymmetric comparison directions (coverage agg default
-min, score agg default mean), dropping edges with missing values or
-coverage <= cov_min (classify.py:64-105); take cliques of the initial
-connected components (classify.py:114-132); then repeatedly remove the
-lowest-scoring edge, recursing into components whenever the graph
-disconnects, recording each clique with the edge score that formed it
-(classify.py:135-189); dedupe by member set (classify.py:192-207); write
-``{method}_classify.tsv`` rounded to 7 dp (classify.py:433-464) and a
-4-panel summary plot.
+Output-compatible with the reference ``classify.py`` (cited per
+function). The clique *discovery order* is part of the output contract
+(the TSV rows appear in discovery order), so the edge-removal schedule
+— weakest edge first, recurse when the graph disconnects — is
+reproduced exactly; the code itself is this package's own.
+
+Overview: build an undirected graph whose nodes are genomes and whose
+edges aggregate the two asymmetric comparison directions (coverage agg
+default min, score agg default mean), dropping edges with missing
+values or coverage <= cov_min (ref classify.py:64-105); take cliques of
+the initial connected components (ref classify.py:114-132); then
+repeatedly remove the lowest-scoring edge, recursing into components
+whenever the graph disconnects, recording each clique with the edge
+score that formed it (ref classify.py:135-189); dedupe by member set
+(ref classify.py:192-207); write ``{method}_classify.tsv`` rounded to
+7 dp (ref classify.py:433-464) and the stacked classify figure
+(ref classify.py:236-431).
 """
 
 from __future__ import annotations
 
 import logging
+import math
 from collections import defaultdict
 from itertools import combinations
 from pathlib import Path
@@ -53,37 +60,49 @@ def construct_graph(
     score_agg: Callable,
     min_coverage: float,
 ) -> nx.Graph:
-    """Build the genome graph from coverage + score matrices (classify.py:64-105)."""
+    """Build the genome graph from coverage + score matrices (ref classify.py:64-105).
+
+    Each unordered pair contributes one candidate edge whose attributes
+    aggregate the two comparison directions. The aggregation sees the
+    directional values as an ordered two-element list — order matters
+    for ``min``/``max`` when one direction is NaN (Python's min/max are
+    first-wins under unordered comparisons), and the reference's
+    ordering is kept.
+    """
     graph = nx.Graph()
-    nodes = cov_matrix.columns
-    graph.add_nodes_from(nodes)
-    for genome1, genome2 in combinations(nodes, 2):
-        coverage = coverage_agg(
-            [cov_matrix[genome1][genome2], cov_matrix[genome2][genome1]]
-        )
-        score = score_agg(
-            [score_matrix[genome1][genome2], score_matrix[genome2][genome1]]
-        )
-        if pd.notna(coverage) and pd.notna(score) and coverage > min_coverage:
-            graph.add_edge(genome1, genome2, coverage=coverage, score=score)
+    genomes = cov_matrix.columns
+    graph.add_nodes_from(genomes)
+    for genome1, genome2 in combinations(genomes, 2):
+        # matrix[col][row]: direction (query=row, subject=col)
+        directions = [(genome2, genome1), (genome1, genome2)]
+        coverage = coverage_agg([cov_matrix.at[q, s] for q, s in directions])
+        score = score_agg([score_matrix.at[q, s] for q, s in directions])
+        if pd.isna(coverage) or pd.isna(score) or coverage <= min_coverage:
+            continue
+        graph.add_edge(genome1, genome2, coverage=coverage, score=score)
     return graph
 
 
 def is_clique(graph: nx.Graph) -> bool:
-    """True if the (sub)graph is fully connected (classify.py:108-111)."""
-    n_nodes = len(graph.nodes)
-    return len(graph.edges) == n_nodes * (n_nodes - 1) / 2
+    """True if the (sub)graph is fully connected (ref classify.py:108-111)."""
+    n_nodes = graph.number_of_nodes()
+    return graph.number_of_edges() == n_nodes * (n_nodes - 1) / 2
 
 
 def find_initial_cliques(graph: nx.Graph) -> list[tuple]:
-    """Cliques among the initial connected components (classify.py:114-132)."""
+    """Cliques among the initial connected components (ref classify.py:114-132).
+
+    Components that are already cliques (before any edge removal) are
+    recorded with the globally weakest edge score as their formation
+    score.
+    """
+    scores = [attrs["score"] for _, _, attrs in graph.edges(data=True)]
+    weakest = min(scores) if scores else None
     cliques: list[tuple] = []
-    edges = nx.get_edge_attributes(graph, "score")
-    identity = min(edges.values()) if edges else None
     for component in nx.connected_components(graph):
-        subgraph = graph.subgraph(component).copy()
-        if is_clique(subgraph):
-            cliques.append((subgraph, identity))
+        candidate = graph.subgraph(component).copy()
+        if is_clique(candidate):
+            cliques.append((candidate, weakest))
     return cliques
 
 
@@ -91,147 +110,250 @@ def find_cliques_recursively(
     graph: nx.Graph,
     min_score: float | None = None,
 ) -> list[tuple]:
-    """Remove lowest-score edges, recursing on disconnection (classify.py:135-189)."""
-    cliques: list[tuple] = []
-    if len(graph.nodes) == 1:
-        cliques.append((graph, min_score))
-        return cliques
-    if is_clique(graph):
-        cliques.append((graph.copy(), min_score))
+    """Remove lowest-score edges, recursing on disconnection (ref classify.py:135-189).
 
-    edges = sorted(graph.edges(data=True), key=lambda edge: edge[2]["score"])
-    while edges:
-        edge_to_remove = edges.pop(0)
-        break_edge = (edge_to_remove[0], edge_to_remove[1])
-        min_score = graph.get_edge_data(*break_edge).get("score")
-        graph.remove_edge(*break_edge)
-        connected_components = list(nx.connected_components(graph))
-        if len(connected_components) > 1:
-            for component in connected_components:
-                subgraph = graph.subgraph(component).copy()
-                cliques.extend(find_cliques_recursively(subgraph, min_score=min_score))
-            return cliques
-    return cliques
+    Mutates ``graph``. Records (clique_subgraph, formation_score) in
+    discovery order: the current graph first if it is already a clique,
+    then the cliques of each component (in ``nx.connected_components``
+    order) after the weakest-edge removals disconnect it.
+    """
+    if graph.number_of_nodes() == 1:
+        return [(graph, min_score)]
+    found: list[tuple] = []
+    if is_clique(graph):
+        found.append((graph.copy(), min_score))
+    # One pass over the edges sorted weakest-first (sorted once, as the
+    # reference does — removals do not re-rank the remaining edges).
+    for u, v, attrs in sorted(
+        graph.edges(data=True), key=lambda edge: edge[2]["score"]
+    ):
+        min_score = attrs["score"]
+        graph.remove_edge(u, v)
+        parts = list(nx.connected_components(graph))
+        if len(parts) > 1:
+            for part in parts:
+                found.extend(
+                    find_cliques_recursively(
+                        graph.subgraph(part).copy(), min_score=min_score
+                    )
+                )
+            break
+    return found
 
 
 def get_unique_cliques(
     initial_cliques: list[tuple], recursive_cliques: list[tuple]
 ) -> list[tuple]:
-    """Dedupe cliques by member set, initial cliques first (classify.py:192-207)."""
-    unique_cliques = {
-        frozenset(graph.nodes): (graph, edge) for graph, edge in initial_cliques
-    }
-    unique_cliques.update(
-        {
-            frozenset(graph.nodes): (graph, edge)
-            for graph, edge in recursive_cliques
-            if frozenset(graph.nodes) not in unique_cliques
-        }
-    )
-    return list(unique_cliques.values())
+    """Dedupe cliques by member set, keeping first occurrence (ref classify.py:192-207)."""
+    first_seen: dict[frozenset, tuple] = {}
+    for clique, formed_at in [*initial_cliques, *recursive_cliques]:
+        first_seen.setdefault(frozenset(clique.nodes), (clique, formed_at))
+    return list(first_seen.values())
 
 
 def compute_classify_output(
     cliques: list, method: str, outdir: Path, column_map: dict
 ) -> tuple[list[CliqueInfo], pd.DataFrame]:
-    """Write {method}_classify.tsv, 7 dp rounding (classify.py:433-464)."""
-    clique_data = [
-        CliqueInfo(
-            n_nodes=len(clique.nodes),
-            max_cov=min(
-                (attrs["coverage"] for _, _, attrs in clique.edges(data=True)),
-                default=None,
-            ),
-            min_score=edge_form,
-            max_score=min(
-                (attrs["score"] for _, _, attrs in clique.edges(data=True)),
-                default=None,
-            ),
-            members=list(clique.nodes),
+    """Write {method}_classify.tsv, 7 dp rounding (ref classify.py:433-464).
+
+    Quirk preserved from the reference: both ``max_cov`` and
+    ``max_score`` are the *minimum* edge attribute over the clique
+    (the weakest link that holds the clique together).
+    """
+    rows = []
+    for clique, formed_at in cliques:
+        coverages = [attrs["coverage"] for _, _, attrs in clique.edges(data=True)]
+        scores = [attrs["score"] for _, _, attrs in clique.edges(data=True)]
+        rows.append(
+            CliqueInfo(
+                n_nodes=clique.number_of_nodes(),
+                max_cov=min(coverages) if coverages else None,
+                min_score=formed_at,
+                max_score=min(scores) if scores else None,
+                members=list(clique.nodes),
+            )
         )
-        for clique, edge_form in cliques
-    ]
-    clique_df = pd.DataFrame(clique_data)
-    clique_df["members"] = clique_df["members"].apply(",".join)
-    clique_df = clique_df.rename(columns=column_map)
-    output_file = outdir / f"{method}_classify.tsv"
-    clique_df.round(7).to_csv(output_file, sep="\t", index=False)
-    return clique_data, clique_df
+    table = pd.DataFrame(rows)
+    table["members"] = table["members"].str.join(",")
+    table = table.rename(columns=column_map)
+    table.round(7).to_csv(outdir / f"{method}_classify.tsv", sep="\t", index=False)
+    return rows, table
 
 
-def _plot_classify(  # noqa: PLR0913
-    clique_df: pd.DataFrame,
+def genome_clique_ids(dataframe: pd.DataFrame, suffix: str) -> dict:
+    """Map each genome to the clique row indices it belongs to (ref classify.py:210-224).
+
+    Mutates ``dataframe`` like the reference: fills the singleton
+    ``max_{suffix}`` holes (1.0 for identity, 0.0 for tANI) and splits
+    the comma-joined members back into lists.
+    """
+    dataframe[f"max_{suffix}"] = dataframe[f"max_{suffix}"].fillna(
+        1.0 if suffix == "identity" else 0.0
+    )
+    dataframe["members"] = dataframe["members"].str.split(",")
+    memberships: dict = defaultdict(list)
+    for idx, members in dataframe["members"].items():
+        for genome in members:
+            memberships[genome].append(idx)
+    return memberships
+
+
+def genome_positions(memberships: dict) -> dict:
+    """Y-axis position per genome, ordered by clique membership (ref classify.py:227-233)."""
+    ordered = sorted(memberships, key=memberships.__getitem__)
+    return {genome: position for position, genome in enumerate(ordered)}
+
+
+def plot_classify(  # noqa: PLR0913, PLR0915
+    positions: dict,
+    dataframe: pd.DataFrame,
     outdir: Path,
     method: str,
-    suffix: str,
+    score: str,
     vertical_line: float,
-    formats: tuple[str, ...],
+    formats: tuple[str, ...] = ("tsv", "png"),
 ) -> None:
-    """4-panel summary plot of clique structure vs score threshold."""
+    """Stacked classify figure (layout per ref classify.py:236-431).
+
+    Four vertically stacked, x-sharing panels:
+    1. genome counts in cliques vs as singletons across the score range;
+    2. percentage of all genomes covered at each score;
+    3. per-clique lifespan bars (hot-colormap rectangles; grey dashed
+       lines for singletons) against the genome y-axis;
+    4. a colorbar strip mapping formation score to the panel-3 colours.
+    """
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
+    from matplotlib import cm
+    from matplotlib.colors import Normalize
+    from matplotlib.patches import Rectangle
 
-    df = clique_df.copy()
-    df[f"max_{suffix}"] = df[f"max_{suffix}"].fillna(
-        1.0 if suffix == "identity" else 0.0
+    num_genomes = len(positions)
+    lows = dataframe[f"min_{score}"]
+    highs = dataframe[f"max_{score}"]
+    axis_floor = math.floor(lows.min() * 100) / 100
+
+    # Figure geometry scales with the genome count (ref classify.py:254-278).
+    fig_height = max(num_genomes * 0.15, 15)
+    label_size = max(6, min(12, 300 // num_genomes))
+    hspace = min(0.1, 10 / num_genomes)
+    fig, (ax_count, ax_pct, ax_span, ax_cbar) = plt.subplots(
+        4,
+        1,
+        figsize=(15, fig_height),
+        gridspec_kw={
+            "height_ratios": [0.7, 0.7, max(5, num_genomes * 0.1), 0.2],
+            "hspace": hspace,
+        },
+        sharex=True,
     )
-    members = df["members"].str.split(",")
-    genome_clique_ids = defaultdict(list)
-    for idx, genome_list in members.items():
-        for genome in genome_list:
-            genome_clique_ids[genome].append(idx)
-    sorted_genomes = sorted(genome_clique_ids, key=lambda g: genome_clique_ids[g])
-    positions = {genome: idx for idx, genome in enumerate(sorted_genomes)}
+    fig.subplots_adjust(left=0.2, top=0.85, hspace=hspace)
+    ax_count.tick_params(labelbottom=True)
+    ax_pct.tick_params(labelbottom=True)
 
-    fig, axes = plt.subplots(2, 2, figsize=(14, 10))
-    # Panel 1: clique extents over score range, one horizontal bar per clique
-    ax = axes[0][0]
-    for idx, row in df.iterrows():
-        lo = row[f"min_{suffix}"]
-        hi = row[f"max_{suffix}"]
-        if pd.isna(lo):
-            lo = hi
-        ys = [positions[g] for g in row["members"].split(",")]
-        ax.plot([lo, hi], [np.mean(ys)] * 2, "-o", ms=3, lw=1.5)
-    ax.axvline(vertical_line, color="red", ls="--", lw=1)
-    ax.set_xlabel(suffix.lstrip("-"))
-    ax.set_ylabel("clique (genome order)")
-    ax.set_title("Clique score ranges")
+    norm = Normalize(vmin=axis_floor - 0.01, vmax=lows.max())
+    colormap = cm.hot
 
-    # Panel 2: clique sizes
-    ax = axes[0][1]
-    ax.barh(range(len(df)), df["n_nodes"])
-    ax.set_xlabel("genomes in clique")
-    ax.set_ylabel("clique index")
-    ax.set_title("Clique sizes")
+    # Panels 1+2: how many genomes sit in cliques / as singletons at
+    # each score level, counted over a fixed 99-bin grid up to 1.0.
+    grid = np.linspace(axis_floor, 1.0, 100)[:-1]
+    in_cliques = np.zeros_like(grid)
+    as_singletons = np.zeros_like(grid)
+    for _, row in dataframe.iterrows():
+        alive = (grid >= row[f"min_{score}"]) & (grid <= row[f"max_{score}"])
+        size = len(row["members"])
+        if size > 1:
+            in_cliques[alive] += size
+        else:
+            as_singletons[alive] += 1
 
-    # Panel 3: histogram of formation scores
-    ax = axes[1][0]
-    scores = df[f"min_{suffix}"].dropna()
-    if len(scores):
-        ax.hist(scores, bins=30)
-    ax.axvline(vertical_line, color="red", ls="--", lw=1)
-    ax.set_xlabel(f"clique-forming {suffix.lstrip('-')}")
-    ax.set_title("Formation threshold distribution")
+    ax_count.plot(grid, in_cliques, color="blue", linewidth=2, label="Genomes in Cliques")
+    ax_count.fill_between(grid, in_cliques, color="blue", alpha=0.3)
+    ax_count.plot(
+        grid,
+        as_singletons,
+        color="red",
+        linewidth=2,
+        linestyle="--",
+        label="Singleton Genomes",
+    )
+    ax_count.set_ylabel("Number of \n Genomes", fontsize=10)
+    ax_count.grid(visible=True, linestyle="--", linewidth=0.5, alpha=0.7)
+    ax_count.legend()
 
-    # Panel 4: genome membership map
-    ax = axes[1][1]
-    for idx, row in df.iterrows():
-        for genome in row["members"].split(","):
-            ax.plot(idx, positions[genome], "ks", ms=2)
-    ax.set_xlabel("clique index")
-    ax.set_ylabel("genome")
-    ax.set_title("Membership")
+    covered_pct = (in_cliques + as_singletons) / num_genomes * 100
+    ax_pct.plot(grid, covered_pct, color="green", linewidth=2, label="% Genomes")
+    ax_pct.fill_between(grid, covered_pct, color="green", alpha=0.3)
+    ax_pct.set_ylabel("Percentage of \n All Genomes", fontsize=10)
+    ax_pct.set_ylim(0, 100)
+    ax_pct.grid(visible=True, linestyle="--", linewidth=0.5, alpha=0.9)
+    ax_pct.legend()
 
-    fig.suptitle(f"{method} classify summary")
-    fig.tight_layout()
-    # Reference file naming: {method}_classify_plot.{ext} (classify.py:425-430)
-    for fmt in formats:
-        if fmt == "tsv":
-            continue
-        fig.savefig(outdir / f"{method}_classify_plot.{fmt}")
+    # Panel 3: lifespan of every clique across the score axis.
+    for _, row in dataframe.iterrows():
+        start, end = row[f"min_{score}"], row[f"max_{score}"]
+        ys = [positions[genome] for genome in row["members"]]
+        if len(row["members"]) == 1:
+            ax_span.hlines(
+                y=min(ys),
+                xmin=start,
+                xmax=end,
+                colors="grey",
+                linestyles="dashed",
+                linewidth=1.5,
+            )
+        else:
+            ax_span.add_patch(
+                Rectangle(
+                    (start, min(ys) - 0.4),
+                    end - start,
+                    max(ys) - min(ys) + 0.8,
+                    linewidth=1,
+                    edgecolor="black",
+                    facecolor=colormap(norm(start)),
+                    alpha=0.8,
+                )
+            )
+    ax_span.set_xlabel(f"{score}")
+    ax_span.set_ylabel("Genomes", fontsize=6)
+    ax_span.set_yticks(range(num_genomes))
+    ax_span.set_yticklabels(positions.keys(), fontsize=label_size)
+    ax_span.yaxis.set_label_position("right")
+    ax_span.yaxis.tick_right()
+    ax_span.set_xlim(axis_floor - 0.01, highs.max())
+    ax_span.set_ylim(-1, num_genomes)
+    # The default 0.95 species boundary maps to -0.323 on the -tANI axis.
+    threshold = vertical_line
+    if vertical_line == 0.95 and score != "identity":  # noqa: PLR2004
+        threshold = -0.323
+    ax_span.axvline(x=threshold, color="red", linewidth=2, linestyle="--")
+    ax_span.grid(visible=True, linestyle="--", linewidth=0.5, alpha=0.9)
+
+    # Panel 4: a horizontal gradient strip as the colour legend.
+    gradient = np.linspace(norm.vmin, norm.vmax, 512)
+    ax_cbar.imshow(
+        gradient[None, :],
+        aspect="auto",
+        cmap=colormap,
+        norm=norm,
+        extent=(norm.vmin, norm.vmax, 0, 1),
+    )
+    ax_cbar.set_xlim(norm.vmin, norm.vmax)
+    ax_cbar.set_ylim(0, 1)
+    ax_cbar.set_xlabel(f"Min {score}", fontsize=10)
+    ax_cbar.xaxis.set_label_position("bottom")
+    ax_cbar.set_yticks([])
+    ax_cbar.tick_params(axis="x", labelsize=10, direction="out")
+
+    for ext in formats:
+        if ext != "tsv":
+            fig.savefig(
+                outdir / f"{method}_classify_plot.{ext}",
+                format=ext,
+                bbox_inches="tight",
+            )
     plt.close(fig)
 
 
@@ -288,5 +410,15 @@ def classify_run(  # noqa: PLR0913
         if set(clique_df["n_nodes"]) == {1}:
             logger.warning("All genomes are singletons. No plot can be generated.")
         elif len(run.genome_hashes) > 1:
-            _plot_classify(clique_df, outdir, method, suffix, vertical_line, formats)
+            plot_df = clique_df.copy()
+            memberships = genome_clique_ids(plot_df, suffix)
+            plot_classify(
+                genome_positions(memberships),
+                plot_df,
+                outdir,
+                method,
+                suffix,
+                vertical_line,
+                formats,
+            )
     return clique_df

@@ -20,7 +20,6 @@ from typing import IO
 
 from pyani_plus_tpu import FASTA_EXTENSIONS, log_sys_exit
 
-ASCII_GREATER_THAN = ord(">")
 WHITESPACE = b" \t\r\n"
 
 
@@ -31,41 +30,42 @@ def fasta_bytes_iterator(
 
     The description is everything after ``>`` with trailing whitespace
     stripped; the sequence has *all* internal whitespace removed (so wrapped
-    lines, stray spaces and embedded ``\\r`` collapse away). Matches the
-    byte-for-byte semantics of the reference iterator (utils.py:40-90).
+    lines, stray spaces and embedded ``\\r`` collapse away). Same observable
+    semantics as the reference iterator (utils.py:40-90): anything before
+    the first ``>`` header is ignored, and an entirely header-less file
+    yields nothing.
     """
-    if handle.read(0) != b"":
+    if not isinstance(handle.read(0), bytes):
         msg = "Function fasta_bytes_iterator requires a handle in binary mode"
         raise ValueError(msg)
 
-    for line in handle:
-        if line[0] == ASCII_GREATER_THAN:
-            title = line[1:].rstrip()
-            break
-    else:
-        return
-    lines: list[bytes] = []
-    for line in handle:
-        if line[0] == ASCII_GREATER_THAN:
-            yield title, b"".join(lines).translate(None, WHITESPACE)
-            lines = []
-            title = line[1:].rstrip()
-            continue
-        lines.append(line.rstrip())
-    yield title, b"".join(lines).translate(None, WHITESPACE)
+    title: bytes | None = None
+    body = bytearray()
+    for raw in handle:
+        if raw.startswith(b">"):
+            if title is not None:
+                yield title, bytes(body).translate(None, WHITESPACE)
+            title = raw[1:].rstrip()
+            body.clear()
+        elif title is not None:
+            body += raw.rstrip()
+    if title is not None:
+        yield title, bytes(body).translate(None, WHITESPACE)
 
 
 def filename_stem(filename: str) -> str:
-    """Return the basename stem of a filename, treating ``.gz`` specially.
+    """Return the basename stem, dropping ``.gz`` plus one more suffix.
 
-    >>> filename_stem("/path/example.fna")
-    'example'
-    >>> filename_stem("relative/path/example.fna.gz")
-    'example'
+    >>> filename_stem("genomes/OP073605.fasta.gz")
+    'OP073605'
+    >>> filename_stem("no_suffix")
+    'no_suffix'
     """
-    if "/" in filename:
-        filename = filename.rsplit("/", 1)[1]
-    return Path(filename[:-3]).stem if filename.endswith(".gz") else Path(filename).stem
+    name = filename.rsplit("/", 1)[-1]
+    if name.endswith(".gz"):
+        name = name[: -len(".gz")]
+    cut = name.rfind(".")
+    return name if cut <= 0 else name[:cut]
 
 
 def str_md5sum(text: str, encoding: str = "ascii") -> str:

@@ -217,6 +217,95 @@ def test_missing_db_errors(runner, viral_example_mod, tmp_path) -> None:
     assert "not using --create-db" in str(result.output) + str(result.exception)
 
 
+def test_classify_with_plot(runner, sourmash_run, tmp_path) -> None:
+    """Classify with plotting enabled writes the stacked classify figure."""
+    db_path, _ = sourmash_run
+    outdir = tmp_path / "classify_plot"
+    result = runner.invoke(
+        app,
+        ["classify", "-d", str(db_path), "-o", str(outdir)],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    assert (outdir / "sourmash_classify.tsv").is_file()
+    assert (outdir / "sourmash_classify_plot.png").is_file()
+
+
+def test_plot_run(runner, sourmash_run, tmp_path) -> None:
+    """plot-run writes scatter/dist/heatmap artefacts with reference names."""
+    db_path, _ = sourmash_run
+    outdir = tmp_path / "plots"
+    result = runner.invoke(
+        app,
+        [
+            "plot-run",
+            "-d",
+            str(db_path),
+            "-o",
+            str(outdir),
+            "--formats",
+            "tsv,png",
+        ],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    for stem in (
+        "sourmash_identity_heatmap.png",
+        "sourmash_identity_heatmap.tsv",
+        "sourmash_identity_dist.png",
+        "sourmash_query_cov_scatter.png",
+        "sourmash_query_cov_scatter.tsv",
+        "sourmash_tANI_scatter.png",
+        "sourmash_tANI_heatmap.png",
+        "sourmash_hadamard_dist.png",
+    ):
+        assert (outdir / stem).is_file(), stem
+    # The heatmap TSV is the matrix in dendrogram leaf order
+    matrix = pd.read_csv(outdir / "sourmash_identity_heatmap.tsv", sep="\t", index_col=0)
+    assert matrix.shape == (3, 3)
+
+
+def test_plot_run_comp(runner, sourmash_run, viral_example_mod, tmp_path) -> None:
+    """plot-run-comp writes scatter + diff grids and the per-pair TSV."""
+    db_path, _ = sourmash_run
+    # Second run, different configuration (scaled), same genomes
+    result = runner.invoke(
+        app,
+        [
+            "sourmash",
+            str(viral_example_mod),
+            "-d",
+            str(db_path),
+            "--scaled",
+            "200",
+        ],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    outdir = tmp_path / "comp"
+    result = runner.invoke(
+        app,
+        [
+            "plot-run-comp",
+            "-d",
+            str(db_path),
+            "-o",
+            str(outdir),
+            "--run-ids",
+            "1,2",
+            "--formats",
+            "tsv,png",
+        ],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    assert (outdir / "sourmash_identity_1_vs_2.tsv").is_file()
+    assert (outdir / "sourmash_identity_1_scatter_vs_others.png").is_file()
+    assert (outdir / "sourmash_identity_1_diff_vs_others.png").is_file()
+    pair = pd.read_csv(outdir / "sourmash_identity_1_vs_2.tsv", sep="\t")
+    assert len(pair) == 9  # all 3x3 comparisons in common
+
+
 def test_export_import_comparisons_roundtrip(runner, sourmash_run, tmp_path) -> None:
     """JSON batch export -> import into a fresh DB is lossless + idempotent.
 
