@@ -67,6 +67,14 @@ def common_run_options(f):
 @click.version_option(version=__version__)
 def app() -> None:
     """pyANI-plus-TPU: TPU-native whole-genome ANI classification."""
+    # Join a jax.distributed process group as early as possible (before
+    # anything can initialise the JAX backend) when launched as one.
+    import os
+
+    if os.environ.get("PYANI_TPU_COORDINATOR"):
+        from pyani_plus_tpu.parallel.distributed import maybe_initialize
+
+        maybe_initialize()
 
 
 def _run_method(  # noqa: PLR0913
@@ -97,6 +105,40 @@ def _run_method(  # noqa: PLR0913
         **params,
     )
     click.echo(f"Run {run_id} complete")
+
+
+@app.command(
+    context_settings={"ignore_unknown_options": True},
+    name="launch",
+)
+@click.option(
+    "-n",
+    "--processes",
+    default=2,
+    show_default=True,
+    help="Number of worker processes in the jax.distributed group",
+)
+@click.argument("command", nargs=-1, type=click.UNPROCESSED)
+def launch(processes: int, command: tuple[str, ...]) -> None:
+    """Run any method command as a multi-process jax.distributed group.
+
+    Spawns N copies of this CLI as one process group (coordinator on
+    localhost): each worker owns a static share of the pending pairs and
+    results merge through a collective all-gather, host 0 persisting the
+    store -- the TPU-native analogue of the reference's Snakemake
+    local/SLURM executors (workflows/__init__.py:112-217). Use "{rank}"
+    in arguments for per-worker paths (e.g. --database ani_{rank}.db).
+
+    Example: pyani-plus-tpu launch -n 4 -- fastani genomes/ -d ani.db
+    --create-db
+    """
+    from pyani_plus_tpu.parallel.distributed import launch_local
+
+    if not command:
+        raise click.UsageError("No command given to launch")
+    code = launch_local(processes, list(command))
+    if code:
+        sys.exit(code)
 
 
 @app.command()

@@ -131,13 +131,20 @@ def _chain_and_fill(
 
 EXT_BAND = 60  # extend_errors' band; device lanes share it (extend.py:234)
 EXT_BREAKLEN = 200
-# The batched device extension path (ops/extend_jax.py) is bit-exact and
-# parity-tested, but on the current single tunneled v5e its per-row HLO
-# loop overhead loses to the native host kernel at realistic batch
-# sizes (and the largest shapes hit a TPU-runtime fault). Off by
-# default until the row loop moves inside a Pallas kernel with VMEM-
-# resident states; PYANI_TPU_EXTEND_BATCH_MIN opts in.
-EXT_BATCH_MIN = 1 << 30
+# Default minimum batch for the Pallas device extension path when a TPU
+# backend is live (ops/extend_pallas.py: bit-exact, ~18x the host kernel
+# per lane at realistic sizes). Below this, host dispatch overhead wins.
+# On CPU backends the host C++ kernel is the production path (Pallas
+# interpret mode is for parity tests only). PYANI_TPU_EXTEND_BATCH_MIN
+# overrides (small values force the device path in tests).
+EXT_BATCH_MIN_TPU = 64
+EXT_BATCH_MIN = 1 << 30  # non-TPU default: host kernel
+
+
+def _default_ext_batch_min() -> int:
+    from pyani_plus_tpu.ops.extend_pallas import _is_tpu_backend
+
+    return EXT_BATCH_MIN_TPU if _is_tpu_backend() else EXT_BATCH_MIN
 
 
 def _extension_tasks(
@@ -164,15 +171,16 @@ def _extension_tasks(
 def _run_extensions(
     tasks: list[tuple[np.ndarray, np.ndarray]],
 ) -> list[tuple[int, int, int, int, int]]:
-    """Batch free-end extensions: device lanes when the batch is large,
-    per-task native kernel otherwise. Bit-identical either way
-    (ops/extend_jax.py parity contract)."""
+    """Batch free-end extensions: Pallas device lanes when a TPU is live
+    and the batch is large, per-task native kernel otherwise.
+    Bit-identical either way (ops/extend_pallas.py parity contract)."""
     import os
 
     device_idx: list[int] = []
     device_tasks: list[tuple[np.ndarray, np.ndarray]] = []
     results: list[tuple[int, int, int, int, int] | None] = [None] * len(tasks)
-    min_batch = int(os.environ.get("PYANI_TPU_EXTEND_BATCH_MIN", EXT_BATCH_MIN))
+    env_min = os.environ.get("PYANI_TPU_EXTEND_BATCH_MIN")
+    min_batch = int(env_min) if env_min else _default_ext_batch_min()
     for idx, (a, b) in enumerate(tasks):
         if a.size and b.size:
             limit = min(a.size, b.size) + EXT_BREAKLEN
@@ -181,11 +189,11 @@ def _run_extensions(
                 device_idx.append(idx)
                 device_tasks.append((a_t, b_t))
     if len(device_tasks) >= min_batch:
-        from pyani_plus_tpu.ops.extend_jax import batch_extend_errors
+        from pyani_plus_tpu.ops.extend_pallas import batch_extend_pallas
 
         for idx, res in zip(
             device_idx,
-            batch_extend_errors(device_tasks, stop_rows=3 * EXT_BREAKLEN),
+            batch_extend_pallas(device_tasks, stop_rows=3 * EXT_BREAKLEN),
         ):
             results[idx] = res
     host_idx = [idx for idx in range(len(tasks)) if results[idx] is None]

@@ -1,0 +1,430 @@
+"""Pallas TPU kernel: batched banded free-end extensions for ANIm.
+
+Same contract as ops/extend_jax.py::batch_extend_errors (itself
+bit-identical to the host oracle ops/extend.py::_band_dp with
+``free_end=True``), but the whole row loop lives INSIDE one Pallas
+kernel: all band state is VMEM-resident for the kernel's lifetime, one
+row costs a handful of (LB, 128) vector ops, and there is no per-row HLO
+dispatch -- the failure mode that made the lax.scan path
+(ops/extend_jax.py) lose to the host C++ kernel and once faulted the
+axon worker on very large grids (CLAUDE.md gotchas).
+
+Layout: the batch is the sublane axis. Each grid step owns LB lanes;
+every DP state is an (LB, 128) int32 array carried through an in-kernel
+while/fori loop over rows (band width 121 = 2*60+1, padded to the
+128-lane register width; columns >= 121 are permanently masked).
+Scores and payloads are int32: a free extension can run ~10^4 rows, so
+raw scores reach -7e4 and error payloads ~2e4 -- past int16 -- and the
+host kernel's liveness tests (``s > NEG//2``) assume an untruncated
+accumulator, so int16 state would break the bit-exactness contract.
+
+Shifts along the band use pltpu.roll + edge masks; the horizontal-run
+closure (state I) replaces the host prefix cummax + source gather with
+an associative doubling scan that carries (score_key, source index,
+error payloads) tuples, because lane gathers are the one primitive the
+host formulation needs that Mosaic does not vectorise well. Tie rules
+are reproduced exactly:
+
+- M predecessor best3 prefers M >= D >= I (strict-greater takeovers);
+- D prefers gap continuation on ties;
+- I sources the LATEST running-max base (scan combine keeps the right
+  operand on ties);
+- the best cell updates on strictly greater score, or equal score with
+  larger i + j;
+- the give-up rule (``stop_rows`` rows without improvement) freezes a
+  lane exactly where the host row loop breaks.
+
+Reference role: nucmer postnuc's Extend_Alignment stage (SURVEY.md
+section 2.2; reference hot loop private_cli.py:1194-1224). Parity is
+fuzz-tested against the native kernel in tests/test_dp.py (interpret
+mode on CPU; compiled on real TPU via bench.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+from pyani_plus_tpu.ops.extend import EXTEND, MATCH, MISMATCH, NEG, OPEN
+
+BAND = 60
+WIDTH = 2 * BAND + 1  # 121 live band columns
+LANE = 128  # padded band width (TPU lane count)
+LB = 16  # batch lanes per grid step (sublane axis)
+CHUNK = 128  # rows per inner fori_loop; early-exit checks at this grain
+
+
+def _shift_from_left(x, s, fill, lane_ids):
+    """out[k] = x[k - s] (fill for k < s)."""
+    from jax.experimental.pallas import tpu as pltpu
+    import jax.numpy as jnp
+
+    rolled = pltpu.roll(x, shift=s, axis=1)
+    return jnp.where(lane_ids < s, fill, rolled)
+
+
+def _shift_from_right(x, fill, lane_ids):
+    """out[k] = x[k + 1] (fill at the last lane)."""
+    from jax.experimental.pallas import tpu as pltpu
+    import jax.numpy as jnp
+
+    rolled = pltpu.roll(x, shift=LANE - 1, axis=1)
+    return jnp.where(lane_ids == LANE - 1, fill, rolled)
+
+
+def _make_kernel(stop_rows: int):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    # plain Python ints: weak-typed scalars fold into int32 vector ops
+    # without becoming captured tracer constants
+    neg = NEG
+    half_neg = NEG // 2
+    match = MATCH
+    mismatch = MISMATCH
+    gap_open = OPEN
+    gap_extend = EXTEND
+
+    def kernel(m_ref, n_ref, a_ref, b_ref, out_ref):
+        m_lane = m_ref[:, :]  # (LB, 1)
+        n_lane = n_ref[:, :]
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (LB, LANE), 1)
+        col_ok = lane_ids < WIDTH
+        offs = lane_ids  # band column index k
+
+        zeros = jnp.zeros((LB, LANE), jnp.int32)
+        negs = jnp.full((LB, LANE), NEG, jnp.int32)
+
+        # --- row 0: origin in M at j == 0; I holds the horizontal runs
+        js0 = offs - BAND
+        Ms = jnp.where(col_ok & (js0 == 0), 0, negs)
+        i_ok = col_ok & (js0 >= 1) & (js0 <= n_lane)
+        Is = jnp.where(i_ok, gap_open + gap_extend * (js0 - 1), negs)
+        Ie = jnp.where(i_ok, js0, 0)
+
+        cs0 = jnp.maximum(Ms, Is)
+        ce0 = jnp.where(Ms >= Is, zeros, Ie)
+        row_max0 = jnp.max(cs0, axis=1, keepdims=True)
+        k_sel0 = jnp.max(
+            jnp.where(cs0 == row_max0, offs, -1), axis=1, keepdims=True
+        )
+        j_sel0 = k_sel0 - BAND
+        e_sel0 = jnp.max(
+            jnp.where(offs == k_sel0, ce0, 0), axis=1, keepdims=True
+        )
+        upd0 = (row_max0 > 0) | ((row_max0 == 0) & (j_sel0 > 0))
+        z1 = jnp.zeros((LB, 1), jnp.int32)
+        best_i = z1
+        best_j = jnp.where(upd0, j_sel0, 0)
+        best_s = jnp.where(upd0, row_max0, 0)
+        best_e = jnp.where(upd0, e_sel0, 0)
+        best_n = best_e  # row-0 payloads: e == n == g == j
+        best_g = best_e
+
+        def row_body(t, state, *, i0, awin, bwin):
+            (_i0, Ms, Me, Mn, Mg, Ds, De, Dn, Dg, Is, Ie, In, Ig,
+             best_i, best_j, best_s, best_e, best_n, best_g,
+             rows_since, dead) = state
+            i = i0 + 1 + t
+            # The banded j-1 window of b for this row is contiguous
+            # (b_ext[lane, k + i] == b[k + i - BAND - 1]), but Mosaic
+            # vector loads need lane offsets provably 128-aligned, so
+            # the chunk pre-loads an aligned 2*CHUNK window and each row
+            # extracts its 128 lanes with a dynamic rotate.
+            bc = pltpu.roll(bwin, shift=2 * CHUNK - 1 - t, axis=1)[:, :LANE]
+            ac = pltpu.roll(awin, shift=(CHUNK - t) & (CHUNK - 1), axis=1)[
+                :, :1
+            ]  # (LB, 1): a[i - 1]
+            js = offs + (i - BAND)
+            valid = col_ok & (js >= 0) & (js <= n_lane)
+
+            # --- M: diagonal predecessor (same column), best3 M >= D >= I
+            ps, pe, pn, pg = Ms, Me, Mn, Mg
+            td = Ds > ps
+            ps = jnp.where(td, Ds, ps)
+            pe = jnp.where(td, De, pe)
+            pn = jnp.where(td, Dn, pn)
+            pg = jnp.where(td, Dg, pg)
+            ti = Is > ps
+            ps = jnp.where(ti, Is, ps)
+            pe = jnp.where(ti, Ie, pe)
+            pn = jnp.where(ti, In, pn)
+            pg = jnp.where(ti, Ig, pg)
+            sub_ok = (bc == ac) & (ac < 4) & (bc < 4)
+            sub_same = bc == ac
+            live_m = valid & (js >= 1) & (ps > half_neg)
+            nMs = jnp.where(live_m, ps + jnp.where(sub_ok, match, mismatch), neg)
+            nMe = jnp.where(live_m, pe + jnp.where(sub_ok, 0, 1), 0)
+            nMn = jnp.where(live_m, pn + jnp.where(sub_same, 0, 1), 0)
+            nMg = jnp.where(live_m, pg, 0)
+
+            # --- D: vertical predecessor is column k+1 of the previous row
+            om_s, om_e, om_n, om_g = Ms, Me, Mn, Mg
+            t2 = Is > om_s
+            om_s = jnp.where(t2, Is, om_s)
+            om_e = jnp.where(t2, Ie, om_e)
+            om_n = jnp.where(t2, In, om_n)
+            om_g = jnp.where(t2, Ig, om_g)
+            up_os = _shift_from_right(om_s, neg, lane_ids)
+            up_oe = _shift_from_right(om_e, 0, lane_ids)
+            up_on = _shift_from_right(om_n, 0, lane_ids)
+            up_og = _shift_from_right(om_g, 0, lane_ids)
+            up_ds = _shift_from_right(Ds, neg, lane_ids)
+            up_de = _shift_from_right(De, 0, lane_ids)
+            up_dn = _shift_from_right(Dn, 0, lane_ids)
+            up_dg = _shift_from_right(Dg, 0, lane_ids)
+            open_s = jnp.where(up_os > half_neg, up_os + gap_open, neg)
+            cont_s = jnp.where(up_ds > half_neg, up_ds + gap_extend, neg)
+            take_cont = cont_s >= open_s
+            d_s = jnp.where(take_cont, cont_s, open_s)
+            d_e = jnp.where(take_cont, up_de, up_oe) + 1
+            d_n = jnp.where(take_cont, up_dn, up_on) + 1
+            d_g = jnp.where(take_cont, up_dg, up_og) + 1
+            dead_d = ~valid | (d_s <= half_neg)
+            nDs = jnp.where(dead_d, neg, d_s)
+            nDe = jnp.where(dead_d, 0, d_e)
+            nDn = jnp.where(dead_d, 0, d_n)
+            nDg = jnp.where(dead_d, 0, d_g)
+
+            # --- I: latest-source running max of the row's open keys,
+            # as an associative doubling scan carrying payloads (the
+            # host gathers from the argmax; here the payloads ride the
+            # scan instead). Ties keep the RIGHT operand = later k.
+            base_m = nMs >= nDs
+            bs = jnp.where(base_m, nMs, nDs)
+            be = jnp.where(base_m, nMe, nDe)
+            bn = jnp.where(base_m, nMn, nDn)
+            bg = jnp.where(base_m, nMg, nDg)
+            key = jnp.where(
+                bs > half_neg, bs + gap_open - gap_extend * (offs + 1), neg
+            )
+            sv, si, se, sn, sg = key, offs, be, bn, bg
+            s = 1
+            while s < LANE:
+                lv = _shift_from_left(sv, s, neg, lane_ids)
+                li = _shift_from_left(si, s, -1, lane_ids)
+                le = _shift_from_left(se, s, 0, lane_ids)
+                ln_ = _shift_from_left(sn, s, 0, lane_ids)
+                lg = _shift_from_left(sg, s, 0, lane_ids)
+                take_left = lv > sv
+                sv = jnp.where(take_left, lv, sv)
+                si = jnp.where(take_left, li, si)
+                se = jnp.where(take_left, le, se)
+                sn = jnp.where(take_left, ln_, sn)
+                sg = jnp.where(take_left, lg, sg)
+                s *= 2
+            left_max = _shift_from_left(sv, 1, neg, lane_ids)
+            left_src = _shift_from_left(si, 1, -1, lane_ids)
+            left_e = _shift_from_left(se, 1, 0, lane_ids)
+            left_n = _shift_from_left(sn, 1, 0, lane_ids)
+            left_g = _shift_from_left(sg, 1, 0, lane_ids)
+            ok_i = valid & (js >= 1) & (left_src >= 0) & (left_max > half_neg)
+            nIs = jnp.where(ok_i, left_max + gap_extend * offs, neg)
+            nIe = jnp.where(ok_i, left_e + (offs - left_src), 0)
+            nIn = jnp.where(ok_i, left_n + (offs - left_src), 0)
+            nIg = jnp.where(ok_i, left_g + (offs - left_src), 0)
+
+            # --- best-cell update (ties prefer larger i + j)
+            cs, ce, cn, cg = nMs, nMe, nMn, nMg
+            t3 = nDs > cs
+            cs = jnp.where(t3, nDs, cs)
+            ce = jnp.where(t3, nDe, ce)
+            cn = jnp.where(t3, nDn, cn)
+            cg = jnp.where(t3, nDg, cg)
+            t4 = nIs > cs
+            cs = jnp.where(t4, nIs, cs)
+            ce = jnp.where(t4, nIe, ce)
+            cn = jnp.where(t4, nIn, cn)
+            cg = jnp.where(t4, nIg, cg)
+            row_max = jnp.max(cs, axis=1, keepdims=True)
+            k_sel = jnp.max(
+                jnp.where(cs == row_max, offs, -1), axis=1, keepdims=True
+            )
+            j_sel = k_sel + (i - BAND)
+            sel = offs == k_sel
+            e_sel = jnp.max(jnp.where(sel, ce, 0), axis=1, keepdims=True)
+            n_sel = jnp.max(jnp.where(sel, cn, 0), axis=1, keepdims=True)
+            g_sel = jnp.max(jnp.where(sel, cg, 0), axis=1, keepdims=True)
+            row_active = (i <= m_lane) & (dead == 0)
+            upd = row_active & (
+                (row_max > best_s)
+                | ((row_max == best_s) & (i + j_sel > best_i + best_j))
+            )
+            best_i = jnp.where(upd, i, best_i)
+            best_j = jnp.where(upd, j_sel, best_j)
+            best_s = jnp.where(upd, row_max, best_s)
+            best_e = jnp.where(upd, e_sel, best_e)
+            best_n = jnp.where(upd, n_sel, best_n)
+            best_g = jnp.where(upd, g_sel, best_g)
+            rows_since = jnp.where(
+                ~row_active, rows_since, jnp.where(upd, 0, rows_since + 1)
+            )
+            dead = jnp.where(
+                row_active & (rows_since >= stop_rows), 1, dead
+            )  # int32 0/1: Mosaic cannot carry i1 vectors through scf loops
+
+            return (_i0, nMs, nMe, nMn, nMg, nDs, nDe, nDn, nDg,
+                    nIs, nIe, nIn, nIg,
+                    best_i, best_j, best_s, best_e, best_n, best_g,
+                    rows_since, dead)
+
+        m_block = jnp.max(m_lane)
+
+        def chunk_cond(state):
+            i0 = state[0]
+            dead = state[-1]
+            alive = jnp.any((dead == 0) & (i0 < m_lane))
+            return (i0 < m_block) & alive
+
+        # carry: (i0, 12 states, 6 best, rows_since, dead)
+        def chunk_body(state):
+            i0 = pl.multiple_of(state[0], CHUNK)
+            awin = a_ref[:, pl.ds(i0, CHUNK)]
+            bwin = b_ref[:, pl.ds(i0, 2 * CHUNK)]
+            inner = jax.lax.fori_loop(
+                0,
+                CHUNK,
+                partial(row_body, i0=state[0], awin=awin, bwin=bwin),
+                state,
+            )
+            return (inner[0] + CHUNK,) + inner[1:]
+
+        carry = (
+            jnp.int32(0), Ms, zeros, zeros, zeros, negs, zeros, zeros, zeros,
+            Is, Ie, Ie, Ie,
+            best_i, best_j, best_s, best_e, best_n, best_g,
+            jnp.zeros((LB, 1), jnp.int32), jnp.zeros((LB, 1), jnp.int32),
+        )
+        carry = jax.lax.while_loop(chunk_cond, chunk_body, carry)
+        (_, _, _, _, _, _, _, _, _, _, _, _, _,
+         best_i, best_j, best_s, best_e, best_n, best_g, _, _) = carry
+        pad = jnp.zeros((LB, 2), jnp.int32)
+        out_ref[:, :] = jnp.concatenate(
+            [best_i, best_j, best_s, best_e, best_n, best_g, pad], axis=1
+        )
+
+    return kernel
+
+
+_CALL_CACHE: dict[tuple, object] = {}
+
+
+def _get_call(stop_rows: int, m_cols: int, b_cols: int, interpret: bool):
+    key = (stop_rows, m_cols, b_cols, interpret)
+    fn = _CALL_CACHE.get(key)
+    if fn is not None:
+        return fn
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kernel = _make_kernel(stop_rows)
+
+    def run(a_u8, b_u8, m, n):
+        nb = a_u8.shape[0]
+        a32 = a_u8.astype(jnp.int32)
+        b32 = b_u8.astype(jnp.int32)
+        grid = (nb // LB,)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((LB, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((LB, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((LB, m_cols), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((LB, b_cols), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((LB, 8), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nb, 8), jnp.int32),
+            interpret=interpret,
+        )(m.reshape(-1, 1), n.reshape(-1, 1), a32, b32)
+
+    fn = jax.jit(run)
+    _CALL_CACHE[key] = fn
+    return fn
+
+
+def _is_tpu_backend() -> bool:
+    try:
+        import jax
+
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover
+        return False
+
+
+def batch_extend_pallas(
+    tasks: list[tuple[np.ndarray, np.ndarray]],
+    *,
+    stop_rows: int = 600,
+    interpret: bool | None = None,
+) -> list[tuple[int, int, int, int, int]]:
+    """Free-end extensions for a batch of (a, b) code-array tails.
+
+    Same result contract as ops/extend.py::extend_errors after the
+    caller's pre-trim: per task (a_advance, b_advance, errors, nonid,
+    gap_columns). Tasks are sorted by row count so the fixed-size lane
+    blocks retire together, and row/column dimensions are bucketed to
+    keep the jit cache small.
+    """
+    import jax.numpy as jnp
+
+    nb = len(tasks)
+    if nb == 0:
+        return []
+    if interpret is None:
+        interpret = not _is_tpu_backend()
+    order = sorted(range(nb), key=lambda t: tasks[t][0].size, reverse=True)
+    m_lens = np.zeros(nb, dtype=np.int32)
+    n_lens = np.zeros(nb, dtype=np.int32)
+    for pos, t in enumerate(order):
+        m_lens[pos] = tasks[t][0].size
+        n_lens[pos] = tasks[t][1].size
+    nb_pad = -(-nb // LB) * LB
+    m_max = int(m_lens.max())
+    n_max = int(n_lens.max())
+    # Three fixed row buckets: every distinct (m_cols, b_cols) pair is a
+    # separate Mosaic compile, and compiles over the axon tunnel cost
+    # minutes -- padded rows past max(m) are nearly free (the outer
+    # while_loop exits at the block's true row count).
+    m_need = -(-m_max // CHUNK) * CHUNK
+    for cand in (1280, 3456, 10240):
+        if m_need <= cand:
+            m_cols = cand
+            break
+    else:
+        m_cols = m_need + CHUNK
+    # free-end tasks are pre-trimmed to limit = min(m, n) + breaklen, so
+    # n <= m + breaklen; +384 covers BAND+1+n_max and the chunk lookahead
+    b_cols = m_cols + 384
+    if BAND + 1 + n_max > b_cols:  # pragma: no cover - untrimmed caller
+        b_cols = m_cols + (-(-(BAND + 1 + n_max - m_cols) // LANE) * LANE)
+    a_pad = np.full((nb_pad, m_cols), 255, dtype=np.uint8)
+    b_ext = np.full((nb_pad, b_cols), 255, dtype=np.uint8)
+    for pos, t in enumerate(order):
+        a, b = tasks[t]
+        a_pad[pos, : a.size] = a
+        b_ext[pos, BAND + 1 : BAND + 1 + b.size] = b
+    m_in = np.zeros(nb_pad, dtype=np.int32)
+    n_in = np.zeros(nb_pad, dtype=np.int32)
+    m_in[:nb] = m_lens
+    n_in[:nb] = n_lens
+    fn = _get_call(stop_rows, m_cols, b_cols, interpret)
+    out = np.asarray(
+        fn(jnp.asarray(a_pad), jnp.asarray(b_ext),
+           jnp.asarray(m_in), jnp.asarray(n_in))
+    )
+    results: list[tuple[int, int, int, int, int] | None] = [None] * nb
+    for pos, t in enumerate(order):
+        bi, bj, _bs, be, bn, bg = (int(v) for v in out[pos, :6])
+        results[t] = (bi, bj, be, bn, bg)
+    return results  # type: ignore[return-value]

@@ -149,10 +149,21 @@ def resume_run(  # noqa: PLR0913, C901
             h: Path(run.fasta_directory) / f for h, f in run.hash_to_filename.items()
         }
 
+    # Join the jax.distributed process group when launched as one (the
+    # `launch` command or a cluster launcher sets the coordinator env).
+    from pyani_plus_tpu.parallel import distributed
+
+    dist_index, dist_count = distributed.maybe_initialize(logger)
+    collective = distributed.is_initialized() and dist_count > 1
+
     done = db.existing_pairs(run.configuration_id, hashes)
     pending = {
         (q, s) for q in hashes for s in hashes if (q, s) not in done
     }
+    if collective:
+        # Host 0's store is authoritative; workers may hold private
+        # database files (no shared filesystem needed).
+        pending = distributed.broadcast_pending(pending, dist_index)
     logger.info(
         "Run %d: %d of %d comparisons already done, %d pending",
         run.run_id,
@@ -193,6 +204,8 @@ def resume_run(  # noqa: PLR0913, C901
             len(pending),
         )
 
+    interrupted = False
+    rows: list[dict] = []
     if pending:
         # SLURM sends SIGTERM; convert to KeyboardInterrupt so the
         # graceful-interrupt path runs (ref private_cli.py:816-823)
@@ -267,15 +280,35 @@ def resume_run(  # noqa: PLR0913, C901
                 else:
                     rows = method.compute(ctx)
         except KeyboardInterrupt:
-            logger.error("Interrupted; marking run as 'Worker interrupted'")
-            run.set_status("Worker interrupted")
-            return run.run_id
+            if not collective:
+                logger.error("Interrupted; marking run as 'Worker interrupted'")
+                run.set_status("Worker interrupted")
+                return run.run_id
+            # In a process group, still join the merge below with
+            # whatever was completed so the peers don't deadlock.
+            interrupted = True
+        interrupted = interrupted or ctx.interrupted
+
+    if collective:
+        # Collective result merge (ICI/DCN all-gather) replaces the
+        # reference's polled JSON import; every host receives the union
+        # so host 0's store ends complete even when workers used private
+        # databases. EVERY host joins, including those with no pending
+        # share (the gather is also the completion barrier).
+        gathered = distributed.allgather_comparisons(rows)
+        logger.info(
+            "Collective merge: %d local + %d remote comparisons",
+            len(rows),
+            len(gathered) - len(rows),
+        )
+        rows = gathered if dist_index == 0 else rows
+    if rows:
         db.insert_comparisons(rows, configuration_id=run.configuration_id)
-        if ctx.interrupted:
-            # Partial results are saved; leave the run resumable
-            run.set_status("Worker interrupted")
-            logger.error("Run %d interrupted; partial results saved", run.run_id)
-            return run.run_id
+    if interrupted:
+        # Partial results are saved; leave the run resumable
+        run.set_status("Worker interrupted")
+        logger.error("Run %d interrupted; partial results saved", run.run_id)
+        return run.run_id
 
     final = run.comparisons_count()
     if final != n * n:

@@ -112,6 +112,45 @@ def sharded_containment_step(mesh):
     return step
 
 
+def merge_partial_matrices(blocks: np.ndarray, mesh) -> np.ndarray:
+    """Collectively merge per-device partial result matrices (ICI psum).
+
+    ``blocks`` is (n_devices, N, N): device d's zero-masked partial of
+    the full result matrix (its owned pair tiles filled, the rest 0).
+    A ``shard_map`` psum over the whole mesh reduces them into the
+    replicated full matrix -- the on-device analogue of the reference's
+    JSON-import merge loop (workflows/__init__.py:49-109), which the
+    multichip dry run exercises alongside the Gram step.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    axes = mesh.axis_names
+
+    def body(x):
+        return jax.lax.psum(x[0], axis_name=axes)
+
+    merged = jax.jit(
+        shard_map(
+            body,
+            mesh=mesh,
+            in_specs=P(axes, None, None),
+            out_specs=P(None, None),
+        )
+    )(
+        jax.device_put(
+            jnp.asarray(blocks), NamedSharding(mesh, P(axes, None, None))
+        )
+    )
+    return np.asarray(merged)
+
+
 def owned_pairs(n: int, process_index: int, process_count: int) -> list[tuple[int, int]]:
     """Static block ownership of the pair grid for multi-host runs.
 

