@@ -88,6 +88,104 @@ def synth_genomes(n: int, length: int, seed: int = 0) -> list[np.ndarray]:
     return genomes
 
 
+def mutate(codes: np.ndarray, rate: float, rng) -> np.ndarray:
+    out = codes.copy()
+    mut = rng.random(out.size) < rate
+    out[mut] = (out[mut] + rng.integers(1, 4, int(mut.sum()))) % 4
+    return out
+
+
+def _genome_from_codes(codes: np.ndarray, name: str):
+    """Wrap raw 0-3 codes as a Genome without touching the filesystem."""
+    from pyani_plus_tpu.genomes import Genome, SequenceRecord
+
+    return Genome(
+        md5=name,
+        path=Path(f"/synthetic/{name}"),
+        records=[SequenceRecord(title=name.encode(), codes=codes)],
+    )
+
+
+def _time_method(method_name: str, genomes: dict, pair) -> float:
+    """Wall seconds for one directed comparison via the method driver."""
+    import logging
+
+    from pyani_plus_tpu.methods import ComputeContext, get_method
+
+    module = get_method(method_name)
+    ctx = ComputeContext(
+        logger=logging.getLogger("bench"),
+        genomes=genomes,
+        query_hashes=sorted(genomes),
+        subject_hashes=sorted(genomes),
+        pending={pair},
+        config=module.configuration(),
+    )
+    t0 = time.time()
+    rows = module.compute(ctx)
+    assert rows, method_name
+    return time.time() - t0
+
+
+def bench_alignment_methods(rng) -> dict:
+    """Per-pair wall times for the alignment methods (one divergent pair).
+
+    ANIm runs with the production dispatch: on a TPU backend the
+    free-end extensions batch onto the Pallas kernel
+    (ops/extend_pallas.py); the kernel-level lanes/sec comparison is
+    measured separately below with compiles excluded.
+    """
+    out: dict = {}
+
+    # --- extension kernel: device vs host lanes/sec (warm, one bucket)
+    from pyani_plus_tpu.ops.extend import extend_errors
+    from pyani_plus_tpu.ops.extend_pallas import (
+        _is_tpu_backend,
+        batch_extend_pallas,
+    )
+
+    lanes = int(os.environ.get("BENCH_EXT_LANES", "512"))
+    tasks = []
+    for i in range(lanes):
+        m = int(rng.integers(1500, 3200)) if i % 8 else 9900  # warm both
+        a = rng.integers(0, 4, m).astype(np.uint8)
+        b = mutate(a, 0.12, rng)
+        tasks.append((a, b))
+    if _is_tpu_backend():
+        t0 = time.time()
+        batch_extend_pallas(tasks, stop_rows=600)
+        out["extend_compile_seconds"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        batch_extend_pallas(tasks, stop_rows=600)
+        out["extend_lanes_per_sec_device"] = round(
+            lanes / (time.time() - t0), 1
+        )
+    t0 = time.time()
+    for a, b in tasks[: max(8, lanes // 16)]:
+        extend_errors(a, b)
+    out["extend_lanes_per_sec_host"] = round(
+        max(8, lanes // 16) / (time.time() - t0), 1
+    )
+
+    # --- one divergent (~85% ANI) pair per alignment method
+    alen = int(os.environ.get("BENCH_ALN_LEN", "400000"))
+    base = rng.integers(0, 4, alen, dtype=np.uint8)
+    md5_r = "b" * 32
+    md5_q = "a" * 32
+    genomes = {
+        md5_r: _genome_from_codes(base, md5_r),
+        md5_q: _genome_from_codes(mutate(base, 0.15, rng), md5_q),
+    }
+    pair = (md5_q, md5_r)
+    for method, key in (
+        ("ANIm", "anim_divergent_pair_seconds"),
+        ("ANIb", "anib_divergent_pair_seconds"),
+        ("fastANI", "fastani_divergent_pair_seconds"),
+    ):
+        out[key] = round(_time_method(method, genomes, pair), 2)
+    return out
+
+
 def main() -> None:
     n = int(os.environ.get("BENCH_N", "1000"))
     length = int(os.environ.get("BENCH_LEN", "100000"))
@@ -165,6 +263,8 @@ def main() -> None:
         "compile_seconds": round(t_compile, 2),
         "identity_mean": float(np.nanmean(identity)),
     }
+    if os.environ.get("BENCH_METHODS", "1") != "0":
+        result.update(bench_alignment_methods(np.random.default_rng(9)))
     print(json.dumps(result))
 
 

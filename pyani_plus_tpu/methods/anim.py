@@ -387,10 +387,11 @@ def compute_pair(
             blocks = align_sequences(s_rec.codes, q_rec.codes, mode=mode)
             all_blocks.extend(blocks)
             keys.extend([(si, qi)] * len(blocks))
-    # delta-filter -1 across ALL sequence pairs jointly (per-axis chains
-    # are per sequence in delta-filter; with single-contig genomes this
-    # is equivalent)
-    kept = set(id(a) for a in one_to_one(all_blocks))
+    # delta-filter -1 with the reference's per-sequence-per-axis chains:
+    # -r runs the LIS separately for each reference contig (over its
+    # alignments to every query contig), -q per query contig; keys carry
+    # the grouping so multi-contig genomes filter exactly like nucmer's
+    kept = set(id(a) for a in one_to_one(all_blocks, keys))
     for key, block in zip(keys, all_blocks):
         if id(block) in kept:
             per_seq.setdefault(key, []).append(block)

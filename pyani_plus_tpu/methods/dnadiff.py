@@ -81,11 +81,24 @@ def compute_pair(query: Genome, subject: Genome) -> dict:
     sum_lengths = 0
     aligned_with_gaps = 0
     gaps = 0
-    for q_idx, q_rec in enumerate(query.records):  # noqa: B007
-        q_blocks: list[Alignment] = []
-        for s_rec in subject.records:
+    # delta-filter -m runs per-sequence-per-axis chains over the WHOLE
+    # delta (each ref contig's chain sees its alignments to every query
+    # contig and vice versa), so filter once with grouping keys and only
+    # then split the survivors per query sequence for the qdiff walk.
+    all_blocks: list[Alignment] = []
+    all_keys: list[tuple[int, int]] = []
+    for q_idx, q_rec in enumerate(query.records):
+        for s_idx, s_rec in enumerate(subject.records):
             blocks = align_sequences(s_rec.codes, q_rec.codes, mode="maxmatch")
-            q_blocks.extend(many_to_many(blocks))
+            all_blocks.extend(blocks)
+            all_keys.extend([(s_idx, q_idx)] * len(blocks))
+    kept = set(id(a) for a in many_to_many(all_blocks, all_keys))
+    per_query: dict[int, list[Alignment]] = {}
+    for key, block in zip(all_keys, all_blocks):
+        if id(block) in kept:
+            per_query.setdefault(key[1], []).append(block)
+    for q_idx, q_rec in enumerate(query.records):  # noqa: B007
+        q_blocks = per_query.get(q_idx, [])
         if not q_blocks:
             continue
         aligned_with_gaps += len(q_rec)

@@ -76,19 +76,37 @@ def compute(ctx: ComputeContext) -> list[dict]:
     label = fields.get("label", "stem")
 
     alignment = ctx.extra_files.get("alignment")
+    expected_md5 = fields.get("md5")
     if alignment is None:
-        # Resume path: look for the named file beside the genomes
+        # Resume path: the configuration records the MSA's path, name
+        # and content MD5. Try the recorded path, then the same name
+        # beside the genomes; as a last resort accept ANY file in the
+        # genome directories whose content MD5 matches the recorded one
+        # (a moved-but-identical alignment must still resume).
         name = fields.get("alignment", "")
-        candidates = [Path(name)] if name else []
-        for g in ctx.genomes.values():
-            candidates.append(g.path.parent / name)
-            break
-        alignment = next((c for c in candidates if c.is_file()), None)
+        genome_dirs = sorted({g.path.parent for g in ctx.genomes.values()})
+        candidates = []
+        if name:
+            candidates.append(Path(name))
+            candidates.extend(d / Path(name).name for d in genome_dirs)
+        for c in candidates:
+            if c.is_file() and (
+                not expected_md5 or file_md5sum(c) == expected_md5
+            ):
+                alignment = c
+                break
+        if alignment is None and expected_md5:
+            for d in genome_dirs:
+                for c in sorted(p for p in d.iterdir() if p.is_file()):
+                    if file_md5sum(c) == expected_md5:
+                        alignment = c
+                        break
+                if alignment is not None:
+                    break
         if alignment is None:
             msg = f"Cannot locate external alignment file {name!r}"
             log_sys_exit(ctx.logger, msg)
 
-    expected_md5 = fields.get("md5")
     if expected_md5 and file_md5sum(alignment) != expected_md5:
         msg = f"MD5 checksum of {alignment} does not match configuration"
         log_sys_exit(ctx.logger, msg)

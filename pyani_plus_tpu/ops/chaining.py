@@ -171,13 +171,49 @@ def _best_chain(alignments: list[Alignment], axis: str) -> set[int]:
     return chain
 
 
-def one_to_one(alignments: list[Alignment]) -> list[Alignment]:
+def _axis_keep(
+    alignments: list[Alignment],
+    keys: list[tuple[int, int]] | None,
+    axis: str,
+) -> set[int]:
+    """Per-sequence best chains along one axis (delta-filter -r / -q).
+
+    delta-filter computes the LIS separately FOR EACH reference sequence
+    (-r, candidates = that ref contig's alignments to every query) and
+    for each query sequence (-q); with ``keys`` (per-alignment
+    (ref_id, qry_id)) the grouping matches that on multi-contig genomes.
+    Without keys all alignments share one axis (single-contig case).
+    """
+    if keys is None:
+        return _best_chain(alignments, axis)
+    groups: dict[int, list[int]] = {}
+    part = 0 if axis == "ref" else 1
+    for i, key in enumerate(keys):
+        groups.setdefault(key[part], []).append(i)
+    keep: set[int] = set()
+    for members in groups.values():
+        chain = _best_chain([alignments[i] for i in members], axis)
+        keep.update(members[i] for i in chain)
+    return keep
+
+
+def one_to_one(
+    alignments: list[Alignment],
+    keys: list[tuple[int, int]] | None = None,
+) -> list[Alignment]:
     """delta-filter -1: intersection of the ref-axis and qry-axis chains."""
-    keep = _best_chain(alignments, "ref") & _best_chain(alignments, "qry")
+    keep = _axis_keep(alignments, keys, "ref") & _axis_keep(
+        alignments, keys, "qry"
+    )
     return [a for i, a in enumerate(alignments) if i in keep]
 
 
-def many_to_many(alignments: list[Alignment]) -> list[Alignment]:
+def many_to_many(
+    alignments: list[Alignment],
+    keys: list[tuple[int, int]] | None = None,
+) -> list[Alignment]:
     """delta-filter -m: union of the ref-axis and qry-axis chains."""
-    keep = _best_chain(alignments, "ref") | _best_chain(alignments, "qry")
+    keep = _axis_keep(alignments, keys, "ref") | _axis_keep(
+        alignments, keys, "qry"
+    )
     return [a for i, a in enumerate(alignments) if i in keep]
