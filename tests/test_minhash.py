@@ -116,3 +116,28 @@ def test_no_overlap_gives_nan(bad_alignments: Path) -> None:
     identity, cov = containment_ani(sketches, use_device=False)
     # Self-comparisons are exactly 1.0; diagonal must hold
     assert np.all(np.diag(identity) == 1.0)
+
+
+def test_device_sketch_parity_with_host() -> None:
+    """Device sketching (interpret on CPU) is bit-identical to the host
+    path, across chunk boundaries, N runs, multi-record genomes, and
+    cross-genome batch pooling (ops/minhash.sketch_genomes_device)."""
+    import numpy as np
+
+    from pyani_plus_tpu.genomes import Genome, SequenceRecord
+    from pyani_plus_tpu.ops.minhash import sketch_genome, sketch_genomes_device
+
+    rng = np.random.default_rng(31)
+    genomes = []
+    for gi in range(5):
+        recs = []
+        for ri in range(1 + gi % 3):
+            n = int(rng.integers(200, 40_000))
+            codes = rng.integers(0, 4, n, dtype=np.uint8)
+            codes[rng.random(n) < 0.002] = 4  # N runs
+            recs.append(SequenceRecord(title=f"r{ri}".encode(), codes=codes))
+        genomes.append(Genome(md5=f"g{gi}", path=None, records=recs))
+    dev = sketch_genomes_device(genomes, 31, 40, chunk_w=1 << 13, batch=3)
+    for genome, sk in zip(genomes, dev):
+        host = sketch_genome(genome, 31, 40)
+        assert np.array_equal(sk.hashes, host.hashes), genome.md5
