@@ -249,6 +249,28 @@ def main() -> None:
     pairs = n * n
     value = pairs / total
 
+    # classify over the full 1000-genome matrices (BASELINE config 5):
+    # clique recursion on the thresholded graph, identity as score and
+    # containment as coverage
+    import pandas as pd
+
+    from pyani_plus_tpu.report.classify import (
+        construct_graph,
+        find_cliques_recursively,
+        find_initial_cliques,
+        get_unique_cliques,
+    )
+
+    labels = [f"g{i}" for i in range(n)]
+    t0 = time.time()
+    id_df = pd.DataFrame(identity, index=labels, columns=labels)
+    cov_df = pd.DataFrame(c_q, index=labels, columns=labels)
+    graph = construct_graph(cov_df, id_df, min, np.mean, 0.5)
+    cliques = get_unique_cliques(
+        find_initial_cliques(graph), find_cliques_recursively(graph)
+    )
+    t_classify = time.time() - t0
+
     result = {
         "metric": (
             f"sourmash-mode all-vs-all ANI, {n} genomes x {length} bp "
@@ -262,6 +284,8 @@ def main() -> None:
         "device_seconds": round(t_device, 2),
         "compile_seconds": round(t_compile, 2),
         "identity_mean": float(np.nanmean(identity)),
+        "classify_seconds": round(t_classify, 2),
+        "classify_cliques": len(cliques),
     }
     if os.environ.get("BENCH_METHODS", "1") != "0":
         result.update(bench_alignment_methods(np.random.default_rng(9)))

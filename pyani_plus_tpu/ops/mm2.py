@@ -15,11 +15,13 @@ means reproducing its seeding and chaining exactly:
   (mm_idx_cal_max_occ / mm_mapopt_update);
 - anchors: (target_end, query_end) per relative strand, reverse-strand
   query coordinates flipped into the reverse-complement frame;
-- chain DP (native/mm2.cpp): f[i] = max over lookback of f[j] +
-  min(dq, dr, span) - (int)(0.01*avg_span*dd) - (ilog2(dd)>>1), with
-  widened join limits standing in for the RMQ long-join chaining of
-  modern asm presets (see MAX_GAP/BANDWIDTH note below), max_skip 25,
-  max_iter 5000;
+- chain scoring (native/mm2.cpp mm2_chain_rmq): the >= 2.24 asm-preset
+  (RMQ-era) cost -- f[i] = max over lookback of f[j] + min(dq, dr, span)
+  - (int)(chn_pen_gap*dd + 0.5*mg_log2(dd+1)) with chn_pen_gap =
+  chain_gap_scale(0.8)*0.01*k and minimap2's fast bit-trick log2;
+  two-regime joins (spans <= max_gap with the diagonal free up to
+  bw_long, or near-diagonal dd <= bw with spans up to bw_long -- the
+  two-level -r bw,bw_long), max_skip 25, max_iter 5000;
 - backtrack best-score-first with anchor reuse truncation; chains kept
   when score >= 40 (-m) and anchors >= 3 (-n);
 - primary selection by query-extent overlap (mask_level 0.5);
@@ -43,15 +45,18 @@ PRESET_PARAMS = {  # minimap2 asm presets (options.c): (k, w)
     "asm10": (19, 19),
     "asm20": (19, 10),
 }
-# Chain join limits. minimap2 >=2.24 asm presets chain with RMQ
-# long-joins (two-level -r bw,bw_long up to 100k); the plain DP with
-# these widened limits approximates that behaviour -- calibrated so the
-# viral fixture PAFs stay bit-identical (the 18.4 kb-diagonal-offset
-# alignment pair must NOT join; the gap cost enforces it) while the
-# divergent bacterial pairs join across indel deserts like the real
-# tool (aln_lengths within ~4%% of fixtures, vs ~18%% at -g5000/-r500).
-MAX_GAP = 50000
-BANDWIDTH = 10000
+# Chain join limits: minimap2 >= 2.24 asm-preset (RMQ-era) semantics.
+# Gap spans are bounded by max_gap on both axes; the diagonal difference
+# may reach bw_long (-r bw,bw_long; 100k, inactive once spans are
+# capped); the gap cost is the float chn_pen_gap*dd + 0.5*mg_log2(dd+1)
+# of lchain.c comp_sc with chn_pen_gap = chain_gap_scale(0.8)*0.01*k and
+# chn_pen_skip = 0. With spans capped the bounded sliding-window DP
+# visits every candidate the RMQ tree would return (the tree is an
+# O(n log n) device for huge anchor sets, not a semantics change).
+MAX_GAP = 10000
+BW = 1000
+BW_LONG = 100000
+CHAIN_GAP_SCALE = 0.8
 MAX_SKIP = 25
 MAX_ITER = 5000
 MIN_CHAIN_SCORE = 40  # -m
@@ -148,11 +153,12 @@ def collect_anchors(  # noqa: PLR0913
 
 
 def chain_anchors(x: np.ndarray, y: np.ndarray, k: int):
-    """minimap2 chain DP + backtrack -> list of (score, anchor_idx_asc)."""
-    from pyani_plus_tpu.native import mm2_chain_dp_native
+    """minimap2 chain scores + backtrack -> list of (score, anchor_idx_asc)."""
+    from pyani_plus_tpu.native import mm2_chain_rmq_native
 
-    result = mm2_chain_dp_native(
-        x, y, k, MAX_GAP, MAX_GAP, BANDWIDTH, MAX_SKIP, MAX_ITER
+    result = mm2_chain_rmq_native(
+        x, y, k, MAX_GAP, BW, BW_LONG, CHAIN_GAP_SCALE * 0.01 * k,
+        max_skip=MAX_SKIP, max_iter=MAX_ITER,
     )
     if result is None:  # pragma: no cover - no compiler
         raise RuntimeError("mm2 native kernel unavailable")
