@@ -71,7 +71,9 @@ def app() -> None:
     # anything can initialise the JAX backend) when launched as one.
     import os
 
-    if os.environ.get("PYANI_TPU_COORDINATOR"):
+    if os.environ.get("PYANI_TPU_COORDINATOR") or os.environ.get(
+        "PYANI_TPU_AUTO_DISTRIBUTED"
+    ):
         from pyani_plus_tpu.parallel.distributed import maybe_initialize
 
         maybe_initialize()

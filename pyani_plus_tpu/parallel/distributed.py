@@ -62,6 +62,28 @@ def maybe_initialize(logger: logging.Logger | None = None) -> tuple[int, int]:
         return jax.process_index(), jax.process_count()
     coordinator = os.environ.get(ENV_COORDINATOR)
     if not coordinator:
+        # Cluster launchers (SLURM srun, Open MPI mpirun, TPU pods) are
+        # auto-detected by jax.distributed itself; opt in explicitly so
+        # plain single-process runs inside a SLURM allocation stay
+        # single-process (the reference's SLURM mode likewise needs
+        # --executor slurm). `pyani-plus-tpu launch` sets the explicit
+        # coordinator env instead.
+        if os.environ.get("PYANI_TPU_AUTO_DISTRIBUTED") and (
+            os.environ.get("SLURM_JOB_ID") or os.environ.get("OMPI_COMM_WORLD_SIZE")
+        ):
+            try:
+                jax.config.update("jax_cpu_collectives_implementation", "gloo")
+            except Exception:  # pragma: no cover
+                pass
+            jax.distributed.initialize()  # cluster auto-detection
+            _initialized = True
+            if logger is not None:
+                logger.info(
+                    "Joined auto-detected cluster: process %d of %d",
+                    jax.process_index(),
+                    jax.process_count(),
+                )
+            return jax.process_index(), jax.process_count()
         return 0, 1
     num = int(os.environ[ENV_NUM_PROCESSES])
     pid = int(os.environ[ENV_PROCESS_ID])
