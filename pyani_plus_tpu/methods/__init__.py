@@ -104,10 +104,50 @@ def run_pairwise(ctx: ComputeContext, fn: Callable[[str, str], dict]) -> list[di
     persist partial work and mark the run "Worker interrupted" -- the
     reference workers' graceful-interrupt contract
     (private_cli.py:816-823).
+
+    PYANI_TPU_PAIR_WORKERS=K > 1 computes pairs through a K-thread pool
+    (the numeric kernels release the GIL inside ctypes/device calls, so
+    independent pairs scale across host cores -- the in-process analogue
+    of the reference's N concurrent column subprocesses under the local
+    Snakemake executor, workflows/__init__.py:158-171). Results are
+    emitted in completion order; the store is order-independent and the
+    interrupt contract is preserved (completed rows survive, the rest
+    are cancelled).
     """
+    import os
+
     rows: list[dict] = []
+    pairs = sorted(ctx.pending)
+    workers = int(os.environ.get("PYANI_TPU_PAIR_WORKERS", "1"))
+    if workers > 1 and len(pairs) > 1:
+        from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
+
+        pool = ThreadPoolExecutor(max_workers=workers)
+        try:
+            futures = {
+                pool.submit(fn, q, s): (q, s) for q, s in pairs
+            }
+            outstanding = set(futures)
+            while outstanding:
+                done, outstanding = wait(outstanding, return_when=FIRST_COMPLETED)
+                for fut in done:
+                    q, s = futures[fut]
+                    rows.append(
+                        {"query_hash": q, "subject_hash": s, **fut.result()}
+                    )
+                    ctx.tick()
+                ctx.maybe_flush(rows)
+        except KeyboardInterrupt:
+            ctx.interrupted = True
+            ctx.logger.error(
+                "Interrupted with %d completed comparisons", len(rows)
+            )
+            pool.shutdown(wait=False, cancel_futures=True)
+            return rows
+        pool.shutdown()
+        return rows
     try:
-        for query_hash, subject_hash in sorted(ctx.pending):
+        for query_hash, subject_hash in pairs:
             result = fn(query_hash, subject_hash)
             rows.append(
                 {"query_hash": query_hash, "subject_hash": subject_hash, **result}

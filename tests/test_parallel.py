@@ -62,3 +62,47 @@ def test_owned_pairs_partition() -> None:
     n, hosts = 7, 3
     all_pairs = [p for h in range(hosts) for p in owned_pairs(n, h, hosts)]
     assert sorted(all_pairs) == [(q, s) for q in range(n) for s in range(n)]
+
+
+def test_pair_worker_pool_equals_sequential(monkeypatch, tmp_path) -> None:
+    """PYANI_TPU_PAIR_WORKERS=2 must produce exactly the sequential rows
+    (the pool only reorders completion; the store is order-free)."""
+    from pathlib import Path
+
+    import pytest
+
+    viral = Path("/root/reference/tests/fixtures/viral_example")
+    if not viral.is_dir():
+        pytest.skip("reference fixtures not available")
+    import logging
+
+    from pyani_plus_tpu.genomes import load_genome
+    from pyani_plus_tpu.methods import ComputeContext, get_method
+    from pyani_plus_tpu.utils import filename_stem
+
+    genomes = {
+        filename_stem(p.name): load_genome(p)
+        for ext in (".fasta", ".fas", ".fna")
+        for p in viral.glob(f"*{ext}")
+    }
+    names = sorted(genomes)
+    method = get_method("fastANI")
+
+    def run() -> list[dict]:
+        ctx = ComputeContext(
+            logger=logging.getLogger("t"),
+            genomes=genomes,
+            query_hashes=names,
+            subject_hashes=names,
+            pending={(q, s) for q in names for s in names},
+            config=method.configuration(),
+        )
+        return sorted(
+            method.compute(ctx),
+            key=lambda r: (r["query_hash"], r["subject_hash"]),
+        )
+
+    sequential = run()
+    monkeypatch.setenv("PYANI_TPU_PAIR_WORKERS", "2")
+    pooled = run()
+    assert pooled == sequential
