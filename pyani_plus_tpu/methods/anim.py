@@ -40,7 +40,12 @@ from pyani_plus_tpu.ops.chaining import (
     one_to_one,
 )
 from pyani_plus_tpu.ops.extend import extend_errors, gap_errors
-from pyani_plus_tpu.ops.suffix import maximal_matches
+from pyani_plus_tpu.ops.suffix import (
+    SEED_CACHE,
+    maximal_matches,
+    mum_matches_indexed,
+    seed_index_enabled,
+)
 
 NAME = "ANIm"
 PROGRAM = "pyani-plus-tpu-anim"
@@ -253,11 +258,29 @@ def align_sequences(
     # the same deterministic order as the sequential loops.
     from concurrent.futures import ThreadPoolExecutor
 
+    # MUM seeding streams the query through a cached per-subject suffix
+    # automaton (O(|qry|) per pair, the index amortised down a column)
+    # -- same match set as the combined-suffix-array path, which remains
+    # both the maxmatch (dnadiff) route and the no-compiler fallback.
+    use_index = unique and seed_index_enabled()
+
     def _strand(reverse: bool):
-        q_codes = complement_codes(qry)[::-1].copy() if reverse else qry
-        r, q, ln = maximal_matches(
-            ref, q_codes, min_match, unique_ref=unique, unique_qry=unique
-        )
+        if reverse:
+            q_codes = (
+                SEED_CACHE.rc_for(qry)
+                if use_index
+                else complement_codes(qry)[::-1].copy()
+            )
+        else:
+            q_codes = qry
+        if use_index:
+            r, q, ln = mum_matches_indexed(
+                SEED_CACHE.sam_for(ref), ref, q_codes, min_match
+            )
+        else:
+            r, q, ln = maximal_matches(
+                ref, q_codes, min_match, unique_ref=unique, unique_qry=unique
+            )
         return q_codes, [
             (reverse, r[idx], q[idx], ln[idx])
             for idx in cluster_matches(r, q, ln)

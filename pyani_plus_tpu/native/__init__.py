@@ -246,6 +246,92 @@ def _load_suffix():
     return _suffix_lib
 
 
+def _bind_sam(lib) -> None:
+    if getattr(lib, "_sam_bound", False):
+        return
+    lib.sam_build.restype = ctypes.c_void_p
+    lib.sam_build.argtypes = [ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+    lib.sam_free.restype = None
+    lib.sam_free.argtypes = [ctypes.c_void_p]
+    lib.sam_states.restype = ctypes.c_int64
+    lib.sam_states.argtypes = [ctypes.c_void_p]
+    lib.sam_stream_ms.restype = None
+    lib.sam_stream_ms.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib._sam_bound = True
+
+
+class SamIndex:
+    """Owning handle for a native suffix automaton over rev(text).
+
+    Reusable, read-only after construction (concurrent streams are
+    safe); frees the C++ side on garbage collection.
+    """
+
+    __slots__ = ("_handle", "_lib", "n")
+
+    def __init__(self, lib, handle: int, n: int) -> None:
+        self._lib = lib
+        self._handle = handle
+        self.n = n
+
+    def __del__(self) -> None:  # pragma: no cover - GC timing
+        handle = getattr(self, "_handle", None)
+        if handle:
+            self._handle = None
+            try:
+                # argtypes=[c_void_p] accepts a plain int, so this needs
+                # no ctypes globals (gone during interpreter shutdown).
+                self._lib.sam_free(handle)
+            except Exception:
+                pass
+
+    @property
+    def states(self) -> int:
+        return int(self._lib.sam_states(ctypes.c_void_p(self._handle)))
+
+
+def sam_build_native(codes: np.ndarray) -> SamIndex | None:
+    """Suffix automaton index of ``codes`` (built over the reversal)."""
+    lib = _load_suffix()
+    if lib is None:
+        return None
+    _bind_sam(lib)
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    handle = lib.sam_build(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), codes.size
+    )
+    return SamIndex(lib, handle, codes.size)
+
+
+def sam_stream_ms_native(
+    index: SamIndex, qry: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-start matching statistics of qry vs the indexed text.
+
+    Returns (ms_len int32[m], ref_start int64[m]); ref_start[j] >= 0
+    only when the length-ms_len[j] match is unique in the indexed text.
+    """
+    qry = np.ascontiguousarray(qry, dtype=np.uint8)
+    m = qry.size
+    ms_len = np.empty(m, dtype=np.int32)
+    ref_start = np.empty(m, dtype=np.int64)
+    if m:
+        index._lib.sam_stream_ms(
+            ctypes.c_void_p(index._handle),
+            qry.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            m,
+            ms_len.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ref_start.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+    return ms_len, ref_start
+
+
 def kasai_lcp_native(text: np.ndarray, sa: np.ndarray):
     """Kasai LCP array via C++, or None if unavailable."""
     lib = _load_suffix()

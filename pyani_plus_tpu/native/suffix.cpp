@@ -153,6 +153,161 @@ static void sais(const int64_t *T, int64_t *SA, int64_t n, int64_t K) {
 
 }  // namespace sais_impl
 
+// ---------------------------------------------------------------------
+// Suffix automaton over the REVERSED reference: a reusable per-subject
+// index for MUM seeding (ops/suffix.py mum_matches_indexed).
+//
+// Building over rev(ref) makes "longest suffix of the processed stream"
+// equal "longest prefix of qry[j:] present in ref" when the query is
+// streamed right-to-left, which is exactly the per-start matching
+// statistic ms[j] that MUM enumeration needs: at most one MUM can start
+// at each query position, and it must have length ms[j] (any shorter
+// right-maximal match at the unique ref occurrence would contradict
+// uniqueness).  Ambiguous bases (code >= 4) share one non-query symbol;
+// that never changes occurrence counts of pure-ACGT strings.
+//
+// Per state: len/link/firstpos/cnt int32 + 5 transitions.
+// cnt = |endpos| (occurrences in ref); firstpos = end of the first
+// occurrence in the reversed text (exact when cnt == 1: clones always
+// carry cnt >= 2, so uniqueness only triggers on primary states).
+
+namespace sam_impl {
+
+constexpr int SIGMA = 5;
+
+struct Sam {
+  int64_t n = 0;  // text length (forward)
+  std::vector<int32_t> len, link, fpos, cnt;
+  std::vector<int32_t> nxt;  // SIGMA per state
+  std::vector<uint8_t> clone;
+
+  int32_t add_state(int32_t l) {
+    len.push_back(l);
+    link.push_back(-1);
+    fpos.push_back(-1);
+    clone.push_back(0);
+    nxt.insert(nxt.end(), SIGMA, -1);
+    return (int32_t)len.size() - 1;
+  }
+};
+
+static inline int code5(uint8_t c) { return c < 4 ? c : 4; }
+
+static Sam *build(const uint8_t *ref, int64_t n) {
+  Sam *s = new Sam();
+  s->n = n;
+  s->len.reserve(2 * n + 2);
+  s->link.reserve(2 * n + 2);
+  s->fpos.reserve(2 * n + 2);
+  s->clone.reserve(2 * n + 2);
+  s->nxt.reserve(SIGMA * (2 * n + 2));
+  int32_t last = s->add_state(0);  // root = 0
+  for (int64_t t = 0; t < n; t++) {
+    const int c = code5(ref[n - 1 - t]);  // reversed text
+    const int32_t cur = s->add_state(s->len[last] + 1);
+    s->fpos[cur] = (int32_t)t;  // end position (rev domain)
+    int32_t p = last;
+    while (p != -1 && s->nxt[p * SIGMA + c] == -1) {
+      s->nxt[p * SIGMA + c] = cur;
+      p = s->link[p];
+    }
+    if (p == -1) {
+      s->link[cur] = 0;
+    } else {
+      const int32_t q = s->nxt[p * SIGMA + c];
+      if (s->len[p] + 1 == s->len[q]) {
+        s->link[cur] = q;
+      } else {
+        const int32_t cl = s->add_state(s->len[p] + 1);
+        for (int a = 0; a < SIGMA; a++)
+          s->nxt[cl * SIGMA + a] = s->nxt[q * SIGMA + a];
+        s->link[cl] = s->link[q];
+        s->fpos[cl] = s->fpos[q];
+        s->clone[cl] = 1;
+        while (p != -1 && s->nxt[p * SIGMA + c] == q) {
+          s->nxt[p * SIGMA + c] = cl;
+          p = s->link[p];
+        }
+        s->link[q] = cl;
+        s->link[cur] = cl;
+      }
+    }
+    last = cur;
+  }
+  // endpos sizes by counting-sort over len, then nearest repeat ancestor
+  const int32_t ns = (int32_t)s->len.size();
+  s->cnt.assign(ns, 0);
+  for (int32_t v = 1; v < ns; v++)
+    if (!s->clone[v]) s->cnt[v] = 1;
+  std::vector<int32_t> bucket((size_t)n + 2, 0);
+  for (int32_t v = 0; v < ns; v++) bucket[s->len[v]]++;
+  for (int64_t l = 1; l <= n + 1; l++) bucket[l] += bucket[l - 1];
+  std::vector<int32_t> order(ns);
+  for (int32_t v = 0; v < ns; v++) order[--bucket[s->len[v]]] = v;
+  for (int32_t k = ns - 1; k > 0; k--) {
+    const int32_t v = order[k];
+    if (s->link[v] >= 0) s->cnt[s->link[v]] += s->cnt[v];
+  }
+  s->len.shrink_to_fit();
+  s->link.shrink_to_fit();
+  s->fpos.shrink_to_fit();
+  s->nxt.shrink_to_fit();
+  s->clone.clear();
+  s->clone.shrink_to_fit();
+  return s;
+}
+
+}  // namespace sam_impl
+
+void *sam_build(const uint8_t *ref, int64_t n) {
+  return (void *)sam_impl::build(ref, n);
+}
+
+void sam_free(void *h) { delete (sam_impl::Sam *)h; }
+
+int64_t sam_states(const void *h) {
+  return (int64_t)((const sam_impl::Sam *)h)->len.size();
+}
+
+// Matching statistics of qry against the indexed ref.  For each forward
+// query position j: ms_len[j] = longest prefix of qry[j:] occurring in
+// ref (ambiguous query bases reset the match: they never pair), and
+// ref_start[j] = forward ref start of the occurrence when it is unique
+// in ref, else -1.
+void sam_stream_ms(const void *h, const uint8_t *qry, int64_t m,
+                   int32_t *ms_len, int64_t *ref_start) {
+  const sam_impl::Sam *s = (const sam_impl::Sam *)h;
+  int32_t cur = 0;
+  int32_t l = 0;
+  for (int64_t j = m - 1; j >= 0; j--) {
+    const uint8_t raw = qry[j];
+    if (raw >= 4) {  // ambiguous: matches nothing (MUMmer semantics)
+      cur = 0;
+      l = 0;
+      ms_len[j] = 0;
+      ref_start[j] = -1;
+      continue;
+    }
+    const int c = raw;
+    while (cur != 0 && s->nxt[cur * sam_impl::SIGMA + c] == -1) {
+      cur = s->link[cur];
+      l = s->len[cur];
+    }
+    const int32_t t = s->nxt[cur * sam_impl::SIGMA + c];
+    if (t != -1) {
+      cur = t;
+      l++;
+    } else {
+      l = 0;  // cur == root, no transition
+    }
+    ms_len[j] = l;
+    if (l > 0 && s->cnt[cur] == 1)
+      ref_start[j] = s->n - 1 - (int64_t)s->fpos[cur];
+    else
+      ref_start[j] = -1;
+  }
+}
+
 // Suffix array of arbitrary int64 symbols (name kept for ABI compat
 // with the previous prefix-doubling entry point).
 void suffix_array_pd(const int64_t *text, int64_t n, int64_t *sa) {

@@ -10,7 +10,111 @@ multi-megabase genomes index in seconds.
 
 from __future__ import annotations
 
+import os
+import threading
+from collections import OrderedDict
+
 import numpy as np
+
+
+class SeedIndexCache:
+    """Process-wide LRU of per-sequence seeding structures.
+
+    ANIm's MUM seeding needs, per (subject, query, strand): the
+    subject's suffix-automaton index and the query's reverse-complement
+    codes.  Both depend on a single sequence, so caching them here
+    turns an all-vs-all run from O(pairs) index builds into O(genomes):
+    the subject index is reused down a whole column and each query's
+    minus strand across rows.
+
+    Keys are ``id(codes)`` -- safe because every entry keeps a
+    reference to its codes array, pinning the id for the entry's
+    lifetime (genome records are held by the run context anyway).
+    Builds are de-duplicated across threads with per-key events.
+    """
+
+    def __init__(self, sam_capacity: int = 8, rep_capacity: int = 64) -> None:
+        self._lock = threading.Lock()
+        self._building: dict[tuple, threading.Event] = {}
+        self._sam: OrderedDict = OrderedDict()
+        self._rc: OrderedDict = OrderedDict()
+        self.sam_capacity = sam_capacity
+        self.rep_capacity = rep_capacity
+
+    def _get_or_build(self, table, capacity, key, codes, builder):
+        while True:
+            with self._lock:
+                entry = table.get(key)
+                if entry is not None:
+                    table.move_to_end(key)
+                    return entry[1]
+                event = self._building.get(key)
+                if event is None:
+                    event = threading.Event()
+                    self._building[key] = event
+                    break
+            event.wait()
+        try:
+            value = builder(codes)
+            with self._lock:
+                table[key] = (codes, value)
+                while len(table) > capacity:
+                    table.popitem(last=False)
+        finally:
+            with self._lock:
+                del self._building[key]
+            event.set()
+        return value
+
+    def sam_for(self, codes: np.ndarray):
+        """Native suffix-automaton index of ``codes`` (subject role)."""
+        from pyani_plus_tpu.native import sam_build_native
+
+        return self._get_or_build(
+            self._sam,
+            self.sam_capacity,
+            ("sam", id(codes)),
+            codes,
+            sam_build_native,
+        )
+
+    def rc_for(self, codes: np.ndarray) -> np.ndarray:
+        """Reverse-complement codes of ``codes`` (minus-strand query)."""
+        from pyani_plus_tpu.genomes import complement_codes
+
+        return self._get_or_build(
+            self._rc,
+            self.rep_capacity,
+            ("rc", id(codes)),
+            codes,
+            lambda c: complement_codes(c)[::-1].copy(),
+        )
+
+    def clear(self) -> None:
+        with self._lock:
+            self._sam.clear()
+            self._rc.clear()
+
+
+SEED_CACHE = SeedIndexCache(
+    sam_capacity=int(os.environ.get("PYANI_TPU_SAM_CACHE", "8")),
+    rep_capacity=int(os.environ.get("PYANI_TPU_REP_CACHE", "64")),
+)
+
+
+_NATIVE_SAM_OK: bool | None = None
+
+
+def seed_index_enabled() -> bool:
+    """Whether the streamed MUM path (native suffix automaton) is on."""
+    global _NATIVE_SAM_OK
+    if os.environ.get("PYANI_TPU_MUM_INDEX", "1") == "0":
+        return False
+    if _NATIVE_SAM_OK is None:
+        from pyani_plus_tpu.native import sam_build_native
+
+        _NATIVE_SAM_OK = sam_build_native(np.empty(0, np.uint8)) is not None
+    return _NATIVE_SAM_OK
 
 
 def suffix_array(data: np.ndarray) -> np.ndarray:
@@ -82,6 +186,64 @@ def _lcp_kasai_fast(data: np.ndarray, sa: np.ndarray) -> np.ndarray:
     # inputs; this variant vectorises the common case where most LCP
     # extensions are short by seeding with a batch comparison.
     return lcp_array(data, sa)
+
+
+def mum_matches_indexed(
+    index,
+    ref: np.ndarray,
+    qry: np.ndarray,
+    min_len: int = 20,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """MUMs of qry vs an indexed ref -- same set as ``maximal_matches``
+    with ``unique_ref=unique_qry=True``, streamed in O(|qry|).
+
+    ``index`` is a native ``SamIndex`` built from ``ref`` (suffix
+    automaton over the reversal).
+
+    Why this is complete: a MUM starting at query position j must have
+    length exactly ms[j] (the longest prefix of qry[j:] present in
+    ref) -- a shorter right-maximal match would need a second ref
+    occurrence of its prefix, contradicting ref-uniqueness.  So per
+    start there is at most one candidate, at full depth with a
+    singleton ref occurrence.
+
+    Query-side uniqueness needs no query index: if candidate S (ref
+    start i, length L) occurs again in qry at j', then ms[j'] >= L and
+    the longer string there still occurs exactly once in ref -- at the
+    same start i (S is its prefix and S is unique).  So every extra
+    occurrence of S surfaces as another candidate in the same ref-start
+    group, with length >= L; a candidate is unique in qry iff it is the
+    strict maximum length of its group.  (A shorter group member never
+    witnesses a repeat of a longer one: only its prefix repeats.)
+    """
+    from pyani_plus_tpu.native import sam_stream_ms_native
+
+    ms_len, ref_start = sam_stream_ms_native(index, qry)
+    j = np.nonzero((ms_len >= min_len) & (ref_start >= 0))[0]
+    if not j.size:
+        return (np.empty(0, np.int64),) * 3
+    i = ref_start[j]
+    length = ms_len[j].astype(np.int64)
+    # Strict max length within each ref-start group = unique in qry.
+    order = np.lexsort((length, i))
+    i_s, l_s = i[order], length[order]
+    last_of_run = np.empty(order.size, dtype=bool)
+    last_of_run[:-1] = i_s[1:] != i_s[:-1]
+    last_of_run[-1] = True
+    strict = np.ones(order.size, dtype=bool)
+    strict[1:] = (i_s[1:] != i_s[:-1]) | (l_s[1:] > l_s[:-1])
+    keep_sorted = order[last_of_run & strict]
+    i, j, length = i[keep_sorted], j[keep_sorted], length[keep_sorted]
+    left_r = ref[np.maximum(i - 1, 0)]
+    left_q = qry[np.maximum(j - 1, 0)]
+    left_max = (
+        (j == 0)
+        | (i == 0)
+        | (left_r != left_q)
+        | (left_r >= 4)  # ambiguous bases never equal anything
+    )
+    keep = np.nonzero(left_max)[0]
+    return i[keep], j[keep].astype(np.int64), length[keep]
 
 
 def maximal_matches(  # noqa: C901, PLR0912
