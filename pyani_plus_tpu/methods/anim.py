@@ -42,6 +42,7 @@ from pyani_plus_tpu.ops.chaining import (
 from pyani_plus_tpu.ops.extend import extend_errors, gap_errors
 from pyani_plus_tpu.ops.suffix import (
     SEED_CACHE,
+    max_matches_indexed,
     maximal_matches,
     mum_matches_indexed,
     seed_index_enabled,
@@ -258,11 +259,13 @@ def align_sequences(
     # the same deterministic order as the sequential loops.
     from concurrent.futures import ThreadPoolExecutor
 
-    # MUM seeding streams the query through a cached per-subject suffix
-    # automaton (O(|qry|) per pair, the index amortised down a column)
-    # -- same match set as the combined-suffix-array path, which remains
-    # both the maxmatch (dnadiff) route and the no-compiler fallback.
-    use_index = unique and seed_index_enabled()
+    # Both seeding modes stream the query through a cached per-subject
+    # suffix automaton (O(|qry| + matches) per pair, the index amortised
+    # down a column): MUMs for --mum, all maximal matches for
+    # --maxmatch (dnadiff).  Match sets are identical to the
+    # combined-suffix-array path, which remains the no-compiler
+    # fallback (tests/test_mum_index.py, tests/test_maxmatch_index.py).
+    use_index = seed_index_enabled()
 
     def _strand(reverse: bool):
         if reverse:
@@ -273,8 +276,12 @@ def align_sequences(
             )
         else:
             q_codes = qry
-        if use_index:
+        if use_index and unique:
             r, q, ln = mum_matches_indexed(
+                SEED_CACHE.sam_for(ref), ref, q_codes, min_match
+            )
+        elif use_index:
+            r, q, ln = max_matches_indexed(
                 SEED_CACHE.sam_for(ref), ref, q_codes, min_match
             )
         else:

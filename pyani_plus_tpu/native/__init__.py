@@ -11,6 +11,7 @@ from __future__ import annotations
 import ctypes
 import logging
 import subprocess
+import threading
 from pathlib import Path
 
 import numpy as np
@@ -263,6 +264,19 @@ def _bind_sam(lib) -> None:
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.sam_prepare_tour.restype = None
+    lib.sam_prepare_tour.argtypes = [ctypes.c_void_p]
+    lib.sam_stream_maxmatch.restype = ctypes.c_int64
+    lib.sam_stream_maxmatch.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+    ]
     lib._sam_bound = True
 
 
@@ -273,12 +287,23 @@ class SamIndex:
     safe); frees the C++ side on garbage collection.
     """
 
-    __slots__ = ("_handle", "_lib", "n")
+    __slots__ = ("_handle", "_lib", "n", "_tour_lock", "_tour_ready")
 
     def __init__(self, lib, handle: int, n: int) -> None:
         self._lib = lib
         self._handle = handle
         self.n = n
+        self._tour_lock = threading.Lock()
+        self._tour_ready = False
+
+    def ensure_tour(self) -> None:
+        """Build the link-tree Euler tour once (maxmatch support)."""
+        if self._tour_ready:
+            return
+        with self._tour_lock:
+            if not self._tour_ready:
+                self._lib.sam_prepare_tour(ctypes.c_void_p(self._handle))
+                self._tour_ready = True
 
     def __del__(self) -> None:  # pragma: no cover - GC timing
         handle = getattr(self, "_handle", None)
@@ -330,6 +355,41 @@ def sam_stream_ms_native(
             ref_start.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         )
     return ms_len, ref_start
+
+
+def sam_stream_maxmatch_native(
+    index: SamIndex, qry: np.ndarray, min_len: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All right-maximal matches >= min_len of qry vs the indexed text.
+
+    Returns (ref_start, qry_start, length) int64 arrays; the caller
+    applies the left-maximality filter.
+    """
+    index.ensure_tour()
+    qry = np.ascontiguousarray(qry, dtype=np.uint8)
+    m = qry.size
+    cap = max(4096, 4 * m)
+    while True:
+        out_i = np.empty(cap, dtype=np.int64)
+        out_j = np.empty(cap, dtype=np.int64)
+        out_l = np.empty(cap, dtype=np.int64)
+        count = index._lib.sam_stream_maxmatch(
+            ctypes.c_void_p(index._handle),
+            qry.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            m,
+            min_len,
+            out_i.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            out_j.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            out_l.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            cap,
+        ) if m else 0
+        if count <= cap:
+            return (
+                out_i[:count].copy(),
+                out_j[:count].copy(),
+                out_l[:count].copy(),
+            )
+        cap = int(count)
 
 
 def kasai_lcp_native(text: np.ndarray, sa: np.ndarray):

@@ -180,6 +180,12 @@ struct Sam {
   std::vector<int32_t> len, link, fpos, cnt;
   std::vector<int32_t> nxt;  // SIGMA per state
   std::vector<uint8_t> clone;
+  // Lazy maxmatch support: Euler tour of the suffix-link tree.
+  // endpos(v) = { fpos of non-clone states in v's link subtree } =
+  // pos_list[tour_lo[v] : tour_hi[v]); a child's range is a contiguous
+  // sub-range of its parent's, so endpos(v) \ endpos(child) is two
+  // contiguous spans -- O(1) per emitted occurrence.
+  std::vector<int32_t> tour_lo, tour_hi, pos_list;
 
   int32_t add_state(int32_t l) {
     len.push_back(l);
@@ -252,12 +258,116 @@ static Sam *build(const uint8_t *ref, int64_t n) {
   s->link.shrink_to_fit();
   s->fpos.shrink_to_fit();
   s->nxt.shrink_to_fit();
-  s->clone.clear();
   s->clone.shrink_to_fit();
   return s;
 }
 
+
+static void prepare_tour(Sam *s) {
+  if (!s->tour_lo.empty()) return;
+  const int32_t ns = (int32_t)s->len.size();
+  // children CSR over the link tree (root = 0)
+  std::vector<int32_t> head(ns + 1, 0);
+  for (int32_t v = 1; v < ns; v++) head[s->link[v] + 1]++;
+  for (int32_t v = 0; v < ns; v++) head[v + 1] += head[v];
+  std::vector<int32_t> child(ns > 0 ? ns - 1 : 0);
+  std::vector<int32_t> cursor(head.begin(), head.end() - 1);
+  for (int32_t v = 1; v < ns; v++) child[cursor[s->link[v]]++] = v;
+  s->tour_lo.assign(ns, 0);
+  s->tour_hi.assign(ns, 0);
+  s->pos_list.reserve((size_t)s->n);
+  // iterative DFS; next[v] tracks the next unvisited child slot
+  std::vector<int32_t> next(head.begin(), head.end() - 1);
+  std::vector<int32_t> stack;
+  stack.reserve(1024);
+  stack.push_back(0);
+  s->tour_lo[0] = 0;
+  while (!stack.empty()) {
+    const int32_t v = stack.back();
+    if (next[v] < head[v + 1]) {
+      const int32_t c = child[next[v]++];
+      s->tour_lo[c] = (int32_t)s->pos_list.size();
+      if (!s->clone[c]) s->pos_list.push_back(s->fpos[c]);
+      stack.push_back(c);
+    } else {
+      s->tour_hi[v] = (int32_t)s->pos_list.size();
+      stack.pop_back();
+    }
+  }
+}
+
 }  // namespace sam_impl
+
+// Prepare the link-tree Euler tour (idempotent; called lazily before
+// the first maxmatch stream on this index).
+void sam_prepare_tour(void *h) {
+  sam_impl::prepare_tour((sam_impl::Sam *)h);
+}
+
+// All right-maximal matches of qry vs the indexed ref with length >=
+// min_len (nucmer --maxmatch minus the left-maximality filter, which
+// the caller applies vectorised).  Per query start j the deepest
+// matched state emits occurrences at length ms[j]; each suffix-link
+// ancestor v emits endpos(v) \ endpos(child-on-path) at length len[v]
+// exactly -- the excluded occurrences continue matching deeper, so
+// every (i, j) pair appears once, at its exact pairwise LCP.
+// Writes up to cap rows into (out_i, out_j, out_l); returns the TOTAL
+// count (callers re-run with a bigger buffer when count > cap).
+int64_t sam_stream_maxmatch(const void *h, const uint8_t *qry, int64_t m,
+                            int32_t min_len, int64_t *out_i, int64_t *out_j,
+                            int64_t *out_l, int64_t cap) {
+  const sam_impl::Sam *s = (const sam_impl::Sam *)h;
+  int64_t count = 0;
+  int32_t cur = 0;
+  int32_t l = 0;
+  for (int64_t j = m - 1; j >= 0; j--) {
+    const uint8_t raw = qry[j];
+    if (raw >= 4) {
+      cur = 0;
+      l = 0;
+      continue;
+    }
+    const int c = raw;
+    while (cur != 0 && s->nxt[cur * sam_impl::SIGMA + c] == -1) {
+      cur = s->link[cur];
+      l = s->len[cur];
+    }
+    const int32_t t = s->nxt[cur * sam_impl::SIGMA + c];
+    if (t != -1) {
+      cur = t;
+      l++;
+    } else {
+      l = 0;
+    }
+    if (l < min_len) continue;
+    int32_t v = cur;
+    int32_t prev = -1;
+    while (v != 0) {
+      const int32_t match_len = (prev == -1) ? l : s->len[v];
+      if (match_len < min_len) break;
+      const int32_t lo = s->tour_lo[v];
+      const int32_t hi = s->tour_hi[v];
+      const int32_t skip_lo = (prev == -1) ? hi : s->tour_lo[prev];
+      const int32_t skip_hi = (prev == -1) ? hi : s->tour_hi[prev];
+      for (int32_t t2 = lo; t2 < hi; t2++) {
+        if (t2 == skip_lo) {
+          t2 = skip_hi - 1;  // jump over the child's range
+          continue;
+        }
+        if (count < cap) {
+          out_i[count] = s->n - 1 - (int64_t)s->pos_list[t2];
+          out_j[count] = j;
+          out_l[count] = match_len;
+        }
+        count++;
+      }
+      prev = v;
+      v = s->link[v];
+    }
+  }
+  return count;
+}
+
 
 void *sam_build(const uint8_t *ref, int64_t n) {
   return (void *)sam_impl::build(ref, n);

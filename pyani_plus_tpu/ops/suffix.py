@@ -246,6 +246,40 @@ def mum_matches_indexed(
     return i[keep], j[keep].astype(np.int64), length[keep]
 
 
+def max_matches_indexed(
+    index,
+    ref: np.ndarray,
+    qry: np.ndarray,
+    min_len: int = 20,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All maximal matches of qry vs an indexed ref -- same set as
+    ``maximal_matches`` with ``unique_ref=unique_qry=False`` (nucmer
+    --maxmatch, the dnadiff seeding mode), streamed output-sensitively.
+
+    The native side emits every right-maximal (ref_start, qry_start,
+    exact pairwise LCP) triple with LCP >= min_len by walking the
+    matched state's suffix-link chain and enumerating endpos set
+    differences via an Euler tour of the link tree; left-maximality is
+    filtered here (vectorised), mirroring the oracle's rule that
+    ambiguous left characters never block maximality.
+    """
+    from pyani_plus_tpu.native import sam_stream_maxmatch_native
+
+    i, j, length = sam_stream_maxmatch_native(index, qry, min_len)
+    if not i.size:
+        return (np.empty(0, np.int64),) * 3
+    left_r = ref[np.maximum(i - 1, 0)]
+    left_q = qry[np.maximum(j - 1, 0)]
+    left_max = (
+        (j == 0)
+        | (i == 0)
+        | (left_r != left_q)
+        | (left_r >= 4)  # ambiguous bases never equal anything
+    )
+    keep = np.nonzero(left_max)[0]
+    return i[keep], j[keep], length[keep]
+
+
 def maximal_matches(  # noqa: C901, PLR0912
     ref: np.ndarray,
     qry: np.ndarray,
