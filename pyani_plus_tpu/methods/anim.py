@@ -71,18 +71,30 @@ def _consistent_chain(
     order = np.argsort(r, kind="stable")
     anchors = [(int(r[i]), int(q[i]), int(ln[i])) for i in order]
     n = len(anchors)
-    best = [0.0] * n
-    prev = [-1] * n
-    for i in range(n):
-        ri, qi, li = anchors[i]
-        best[i] = float(li)
-        for j in range(i):
-            rj, qj, lj = anchors[j]
-            if rj <= ri and qj <= qi and rj + lj <= ri + li and qj + lj <= qi + li:
-                cand = best[j] + li
-                if cand > best[i]:
-                    best[i] = cand
-                    prev[i] = j
+
+    from pyani_plus_tpu.native import anchor_chain_dp_native
+
+    native = anchor_chain_dp_native(r[order], q[order], ln[order])
+    if native is not None:
+        best, prev = native
+    else:  # pragma: no cover - no compiler
+        best = [0.0] * n
+        prev = [-1] * n
+        for i in range(n):
+            ri, qi, li = anchors[i]
+            best[i] = float(li)
+            for j in range(i):
+                rj, qj, lj = anchors[j]
+                if (
+                    rj <= ri
+                    and qj <= qi
+                    and rj + lj <= ri + li
+                    and qj + lj <= qi + li
+                ):
+                    cand = best[j] + li
+                    if cand > best[i]:
+                        best[i] = cand
+                        prev[i] = j
     end = int(np.argmax(best))
     chain = []
     while end != -1:

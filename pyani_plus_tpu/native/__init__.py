@@ -25,6 +25,8 @@ _SUFFIX_SO = _DIR / "libsuffix.so"
 _SUFFIX_SRC = _DIR / "suffix.cpp"
 _BAND_SO = _DIR / "libband.so"
 _BAND_SRC = _DIR / "band.cpp"
+_CHAIN_SO = _DIR / "libchain.so"
+_CHAIN_SRC = _DIR / "chain.cpp"
 
 _lib = None
 _tried = False
@@ -860,3 +862,115 @@ def fastani_map_fragment_native(  # noqa: PLR0913
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return int(out[0]), int(out[1]), int(out[2])
+
+_chain_lib = None
+_chain_tried = False
+
+
+def _load_chain():
+    global _chain_lib, _chain_tried
+    if _chain_lib is not None or _chain_tried:
+        return _chain_lib
+    _chain_tried = True
+    try:
+        _build(_CHAIN_SRC, _CHAIN_SO)
+        lib = ctypes.CDLL(str(_CHAIN_SO))
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.cluster_roots.restype = None
+        lib.cluster_roots.argtypes = [
+            i64p, i64p, i64p,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_double,
+            i64p,
+        ]
+        lib.chain_dp.restype = None
+        lib.chain_dp.argtypes = [
+            i64p, i64p, f64p, i64p, ctypes.c_int64, f64p, i64p,
+        ]
+        lib.anchor_chain_dp.restype = None
+        lib.anchor_chain_dp.argtypes = [
+            i64p, i64p, i64p, ctypes.c_int64, f64p, i64p,
+        ]
+        _chain_lib = lib
+    except Exception as exc:  # pragma: no cover - no compiler
+        logging.getLogger(__package__).debug("native chain unavailable: %s", exc)
+        _chain_lib = None
+    return _chain_lib
+
+
+def _i64(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def cluster_roots_native(
+    r: np.ndarray,
+    q: np.ndarray,
+    length: np.ndarray,
+    maxgap: int,
+    diagdiff: int,
+    diagfactor: float,
+) -> np.ndarray | None:
+    """mgaps union-find roots for (r, q)-sorted matches, or None."""
+    lib = _load_chain()
+    if lib is None:
+        return None
+    r = np.ascontiguousarray(r, dtype=np.int64)
+    q = np.ascontiguousarray(q, dtype=np.int64)
+    length = np.ascontiguousarray(length, dtype=np.int64)
+    roots = np.empty(r.size, dtype=np.int64)
+    lib.cluster_roots(
+        _i64(r), _i64(q), _i64(length), r.size,
+        maxgap, diagdiff, ctypes.c_double(diagfactor), _i64(roots),
+    )
+    return roots
+
+
+def chain_dp_native(
+    starts: np.ndarray,
+    ends: np.ndarray,
+    weights: np.ndarray,
+    order: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """delta-filter chain DP -> (best, prev), or None."""
+    lib = _load_chain()
+    if lib is None:
+        return None
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    weights = np.ascontiguousarray(weights, dtype=np.float64)
+    order = np.ascontiguousarray(order, dtype=np.int64)
+    n = starts.size
+    best = np.empty(n, dtype=np.float64)
+    prev = np.empty(n, dtype=np.int64)
+    lib.chain_dp(
+        _i64(starts), _i64(ends),
+        weights.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        _i64(order), n,
+        best.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        _i64(prev),
+    )
+    return best, prev
+
+
+def anchor_chain_dp_native(
+    r: np.ndarray, q: np.ndarray, length: np.ndarray
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Consistent anchor chain DP -> (best, prev), or None."""
+    lib = _load_chain()
+    if lib is None:
+        return None
+    r = np.ascontiguousarray(r, dtype=np.int64)
+    q = np.ascontiguousarray(q, dtype=np.int64)
+    length = np.ascontiguousarray(length, dtype=np.int64)
+    n = r.size
+    best = np.empty(n, dtype=np.float64)
+    prev = np.empty(n, dtype=np.int64)
+    lib.anchor_chain_dp(
+        _i64(r), _i64(q), _i64(length), n,
+        best.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        _i64(prev),
+    )
+    return best, prev

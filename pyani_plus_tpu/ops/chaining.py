@@ -82,39 +82,47 @@ def cluster_matches(
     order = np.lexsort((q, r))
     r_s, q_s, l_s = r[order], q[order], length[order]
     n = r_s.size
-    parent = np.arange(n)
 
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+    from pyani_plus_tpu.native import cluster_roots_native
 
-    # mgaps joins each match to the best earlier match within constraints;
-    # a bounded backward window keeps this near-linear.
-    for j in range(1, n):
-        dj = q_s[j] - r_s[j]
-        for i in range(j - 1, max(-1, j - 64), -1):
-            sep = r_s[j] - (r_s[i] + l_s[i])
-            if sep > maxgap:
-                # matches sorted by ref start; once separation from the
-                # closest candidate exceeds maxgap we can stop scanning
-                # only if ends are monotone -- they aren't, so keep a
-                # bounded window instead of breaking outright.
-                continue
-            di = q_s[i] - r_s[i]
-            sep_q = q_s[j] - (q_s[i] + l_s[i])
-            if sep_q > maxgap or sep_q < -l_s[i] or sep < -l_s[i]:
-                continue
-            if abs(dj - di) <= max(diagdiff, diagfactor * max(sep, sep_q, 0)):
-                pa, pb = find(i), find(j)
-                if pa != pb:
-                    parent[pb] = pa
-                break
+    roots = cluster_roots_native(r_s, q_s, l_s, maxgap, diagdiff, diagfactor)
+    if roots is None:  # pragma: no cover - no compiler
+        parent = np.arange(n)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        # mgaps joins each match to the best earlier match within
+        # constraints; a bounded backward window keeps this near-linear.
+        for j in range(1, n):
+            dj = q_s[j] - r_s[j]
+            for i in range(j - 1, max(-1, j - 64), -1):
+                sep = r_s[j] - (r_s[i] + l_s[i])
+                if sep > maxgap:
+                    # matches sorted by ref start; once separation from
+                    # the closest candidate exceeds maxgap we can stop
+                    # scanning only if ends are monotone -- they aren't,
+                    # so keep a bounded window instead of breaking.
+                    continue
+                di = q_s[i] - r_s[i]
+                sep_q = q_s[j] - (q_s[i] + l_s[i])
+                if sep_q > maxgap or sep_q < -l_s[i] or sep < -l_s[i]:
+                    continue
+                if abs(dj - di) <= max(
+                    diagdiff, diagfactor * max(sep, sep_q, 0)
+                ):
+                    pa, pb = find(i), find(j)
+                    if pa != pb:
+                        parent[pb] = pa
+                    break
+        roots = np.fromiter((find(i) for i in range(n)), np.int64, n)
 
     groups: dict[int, list[int]] = {}
     for i in range(n):
-        groups.setdefault(find(i), []).append(i)
+        groups.setdefault(int(roots[i]), []).append(i)
     clusters = []
     for members in groups.values():
         idx = order[np.asarray(members)]
@@ -149,20 +157,30 @@ def _best_chain(alignments: list[Alignment], axis: str) -> set[int]:
     weights = [
         (a.ref_len + a.qry_len) / 2.0 * (a.identity**2) for a in alignments
     ]
-    order = sorted(range(len(alignments)), key=lambda i: ivals[i])
-    best_score = [0.0] * len(alignments)
-    prev = [-1] * len(alignments)
-    for oi, i in enumerate(order):
-        best_score[i] = weights[i]
-        for j in (order[k] for k in range(oi)):
-            # delta-filter LIS: starts and ends both non-decreasing; the
-            # default overlap tolerance is 100% so any overlap is allowed
-            # as long as the chain stays monotone on this axis.
-            if ivals[j][0] <= ivals[i][0] and ivals[j][1] <= ivals[i][1]:
-                cand = best_score[j] + weights[i]
-                if cand > best_score[i]:
-                    best_score[i] = cand
-                    prev[i] = j
+    starts = np.fromiter((iv[0] for iv in ivals), np.int64, len(ivals))
+    ends = np.fromiter((iv[1] for iv in ivals), np.int64, len(ivals))
+    # lexsort is stable, matching sorted(..., key=ivals[i]) exactly
+    order = np.lexsort((ends, starts))
+
+    from pyani_plus_tpu.native import chain_dp_native
+
+    native = chain_dp_native(starts, ends, np.asarray(weights), order)
+    if native is not None:
+        best_score, prev = native
+    else:  # pragma: no cover - no compiler
+        best_score = [0.0] * len(alignments)
+        prev = [-1] * len(alignments)
+        for oi, i in enumerate(order):
+            best_score[i] = weights[i]
+            for j in (order[k] for k in range(oi)):
+                # delta-filter LIS: starts and ends both non-decreasing;
+                # the default overlap tolerance is 100% so any overlap is
+                # allowed while the chain stays monotone on this axis.
+                if ivals[j][0] <= ivals[i][0] and ivals[j][1] <= ivals[i][1]:
+                    cand = best_score[j] + weights[i]
+                    if cand > best_score[i]:
+                        best_score[i] = cand
+                        prev[i] = j
     end = int(np.argmax(best_score))
     chain = set()
     while end != -1:
