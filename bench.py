@@ -172,17 +172,28 @@ def bench_alignment_methods(rng) -> dict:
     base = rng.integers(0, 4, alen, dtype=np.uint8)
     md5_r = "b" * 32
     md5_q = "a" * 32
+    md5_q2 = "c" * 32
     genomes = {
         md5_r: _genome_from_codes(base, md5_r),
         md5_q: _genome_from_codes(mutate(base, 0.15, rng), md5_q),
+        md5_q2: _genome_from_codes(mutate(base, 0.15, rng), md5_q2),
     }
     pair = (md5_q, md5_r)
     for method, key in (
         ("ANIm", "anim_divergent_pair_seconds"),
         ("ANIb", "anib_divergent_pair_seconds"),
         ("fastANI", "fastani_divergent_pair_seconds"),
+        ("dnadiff", "dnadiff_divergent_pair_seconds"),
     ):
         out[key] = round(_time_method(method, genomes, pair), 2)
+    # Warm-subject (column-amortised) cost: the cached subject suffix
+    # automaton is reused, so this is the marginal per-pair cost of an
+    # all-vs-all column (ops/suffix.SeedIndexCache).
+    for method, key in (
+        ("ANIm", "anim_divergent_pair_warm_seconds"),
+        ("dnadiff", "dnadiff_divergent_pair_warm_seconds"),
+    ):
+        out[key] = round(_time_method(method, genomes, (md5_q2, md5_r)), 2)
     return out
 
 

@@ -89,7 +89,13 @@ class Genome:
 
 
 def load_genome(path: Path | str, md5: str | None = None) -> Genome:
-    """Load a FASTA file (gzip transparent) into a :class:`Genome`."""
+    """Load a FASTA file (gzip transparent) into a :class:`Genome`.
+
+    Mirrors the reference's ingest checks (db_genome,
+    db_orm.py:835-877): compression must agree with the extension --
+    gzip data without a ``.gz`` name or a ``.gz`` name over plain text
+    is an error, as is a file with no FASTA record at all.
+    """
     path = Path(path)
     if md5 is None:
         md5 = file_md5sum(path)
@@ -98,8 +104,20 @@ def load_genome(path: Path | str, md5: str | None = None) -> Genome:
         with gzip.open(path, "rb") as handle:
             for title, seq in fasta_bytes_iterator(handle):
                 records.append(SequenceRecord(title, encode_sequence(seq)))
+        if not records:
+            msg = f"File {path.name} is not recognised as a FASTA record"
+            raise ValueError(msg)
+        if not path.name.endswith(".gz"):
+            msg = f"No .gz ending, but {path.name} is gzip compressed"
+            raise ValueError(msg)
     except gzip.BadGzipFile:
+        if path.name.endswith(".gz"):
+            msg = f"Has .gz ending, but {path.name} is NOT gzip compressed"
+            raise ValueError(msg) from None
         with path.open("rb") as handle:
             for title, seq in fasta_bytes_iterator(handle):
                 records.append(SequenceRecord(title, encode_sequence(seq)))
+        if not records:
+            msg = f"File {path.name} is not recognised as a FASTA record"
+            raise ValueError(msg)
     return Genome(md5=md5, path=path, records=records)

@@ -201,6 +201,38 @@ def test_cli_duplicate_md5_errors(tmp_path) -> None:
     assert "MD5" in (result.output or "") or result.exception is not None
 
 
+def test_gzip_extension_mismatch_errors(tmp_path) -> None:
+    """Compression must agree with the extension (ref db_orm.py:835-877)."""
+    from pyani_plus_tpu.genomes import load_genome
+
+    sneaky = tmp_path / "sneaky.fasta"
+    with gzip.open(sneaky, "wb") as fh:
+        fh.write(b">x\nACGT\n")
+    with pytest.raises(ValueError, match="No .gz ending"):
+        load_genome(sneaky)
+
+    fake = tmp_path / "fake.fasta.gz"
+    fake.write_bytes(b">x\nACGT\n")
+    with pytest.raises(ValueError, match="NOT gzip compressed"):
+        load_genome(fake)
+
+    empty = tmp_path / "empty.fasta"
+    empty.write_bytes(b"")
+    with pytest.raises(ValueError, match="not recognised as a FASTA"):
+        load_genome(empty)
+
+    # and through the CLI: a mismatched input fails the run
+    indir = tmp_path / "genomes"
+    indir.mkdir()
+    shutil.copy(next(VIRAL.glob("*.fasta")), indir / "good.fasta")
+    shutil.copy(fake, indir / "fake.fasta.gz")
+    result = CliRunner().invoke(
+        app,
+        ["sourmash", str(indir), "-d", str(tmp_path / "x.db"), "--create-db"],
+    )
+    assert result.exit_code != 0
+
+
 def test_cli_duplicate_stem_export_errors(tmp_path) -> None:
     """Two inputs sharing a stem must fail a --label stem export."""
     indir = tmp_path / "genomes"
