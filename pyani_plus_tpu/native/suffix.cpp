@@ -175,11 +175,21 @@ namespace sam_impl {
 
 constexpr int SIGMA = 5;
 
+// Hot per-state fields live in one 32-byte block (stride 8 int32:
+// len, link, next[SIGMA], cnt) so the build/stream link walks touch a
+// single cache line per state; fpos/clone are cold side arrays.
+constexpr int STRIDE = 8;
+constexpr int F_LEN = 0;
+constexpr int F_LINK = 1;
+constexpr int F_NXT = 2;  // .. F_NXT + SIGMA
+constexpr int F_CNT = 7;
+
 struct Sam {
   int64_t n = 0;  // text length (forward)
-  std::vector<int32_t> len, link, fpos, cnt;
-  std::vector<int32_t> nxt;  // SIGMA per state
+  std::vector<int32_t> hot;  // STRIDE per state
+  std::vector<int32_t> fpos;
   std::vector<uint8_t> clone;
+  int64_t states = 0;
   // Lazy maxmatch support: Euler tour of the suffix-link tree.
   // endpos(v) = { fpos of non-clone states in v's link subtree } =
   // pos_list[tour_lo[v] : tour_hi[v]); a child's range is a contiguous
@@ -188,13 +198,23 @@ struct Sam {
   std::vector<int32_t> tour_lo, tour_hi, pos_list;
 
   int32_t add_state(int32_t l) {
-    len.push_back(l);
-    link.push_back(-1);
+    const size_t base = hot.size();
+    hot.resize(base + STRIDE, -1);
+    hot[base + F_LEN] = l;
+    hot[base + F_CNT] = 0;
     fpos.push_back(-1);
     clone.push_back(0);
-    nxt.insert(nxt.end(), SIGMA, -1);
-    return (int32_t)len.size() - 1;
+    return (int32_t)(states++);
   }
+
+  int32_t &len(int32_t v) { return hot[(size_t)v * STRIDE + F_LEN]; }
+  int32_t &link(int32_t v) { return hot[(size_t)v * STRIDE + F_LINK]; }
+  int32_t &nxt(int32_t v, int c) { return hot[(size_t)v * STRIDE + F_NXT + c]; }
+  int32_t &cnt(int32_t v) { return hot[(size_t)v * STRIDE + F_CNT]; }
+  int32_t len(int32_t v) const { return hot[(size_t)v * STRIDE + F_LEN]; }
+  int32_t link(int32_t v) const { return hot[(size_t)v * STRIDE + F_LINK]; }
+  int32_t nxt(int32_t v, int c) const { return hot[(size_t)v * STRIDE + F_NXT + c]; }
+  int32_t cnt(int32_t v) const { return hot[(size_t)v * STRIDE + F_CNT]; }
 };
 
 static inline int code5(uint8_t c) { return c < 4 ? c : 4; }
@@ -202,62 +222,57 @@ static inline int code5(uint8_t c) { return c < 4 ? c : 4; }
 static Sam *build(const uint8_t *ref, int64_t n) {
   Sam *s = new Sam();
   s->n = n;
-  s->len.reserve(2 * n + 2);
-  s->link.reserve(2 * n + 2);
+  s->hot.reserve((size_t)STRIDE * (2 * n + 2));
   s->fpos.reserve(2 * n + 2);
   s->clone.reserve(2 * n + 2);
-  s->nxt.reserve(SIGMA * (2 * n + 2));
   int32_t last = s->add_state(0);  // root = 0
   for (int64_t t = 0; t < n; t++) {
     const int c = code5(ref[n - 1 - t]);  // reversed text
-    const int32_t cur = s->add_state(s->len[last] + 1);
+    const int32_t cur = s->add_state(s->len(last) + 1);
     s->fpos[cur] = (int32_t)t;  // end position (rev domain)
     int32_t p = last;
-    while (p != -1 && s->nxt[p * SIGMA + c] == -1) {
-      s->nxt[p * SIGMA + c] = cur;
-      p = s->link[p];
+    while (p != -1 && s->nxt(p, c) == -1) {
+      s->nxt(p, c) = cur;
+      p = s->link(p);
     }
     if (p == -1) {
-      s->link[cur] = 0;
+      s->link(cur) = 0;
     } else {
-      const int32_t q = s->nxt[p * SIGMA + c];
-      if (s->len[p] + 1 == s->len[q]) {
-        s->link[cur] = q;
+      const int32_t q = s->nxt(p, c);
+      if (s->len(p) + 1 == s->len(q)) {
+        s->link(cur) = q;
       } else {
-        const int32_t cl = s->add_state(s->len[p] + 1);
-        for (int a = 0; a < SIGMA; a++)
-          s->nxt[cl * SIGMA + a] = s->nxt[q * SIGMA + a];
-        s->link[cl] = s->link[q];
+        const int32_t cl = s->add_state(s->len(p) + 1);
+        for (int a = 0; a < SIGMA; a++) s->nxt(cl, a) = s->nxt(q, a);
+        s->link(cl) = s->link(q);
         s->fpos[cl] = s->fpos[q];
         s->clone[cl] = 1;
-        while (p != -1 && s->nxt[p * SIGMA + c] == q) {
-          s->nxt[p * SIGMA + c] = cl;
-          p = s->link[p];
+        while (p != -1 && s->nxt(p, c) == q) {
+          s->nxt(p, c) = cl;
+          p = s->link(p);
         }
-        s->link[q] = cl;
-        s->link[cur] = cl;
+        s->link(q) = cl;
+        s->link(cur) = cl;
       }
     }
     last = cur;
   }
-  // endpos sizes by counting-sort over len, then nearest repeat ancestor
-  const int32_t ns = (int32_t)s->len.size();
-  s->cnt.assign(ns, 0);
+  // endpos sizes by counting-sort over len (cnt slots start at 0;
+  // primaries seed 1), propagated along suffix links in len order.
+  const int32_t ns = (int32_t)s->states;
   for (int32_t v = 1; v < ns; v++)
-    if (!s->clone[v]) s->cnt[v] = 1;
+    if (!s->clone[v]) s->cnt(v) = 1;
   std::vector<int32_t> bucket((size_t)n + 2, 0);
-  for (int32_t v = 0; v < ns; v++) bucket[s->len[v]]++;
+  for (int32_t v = 0; v < ns; v++) bucket[s->len(v)]++;
   for (int64_t l = 1; l <= n + 1; l++) bucket[l] += bucket[l - 1];
   std::vector<int32_t> order(ns);
-  for (int32_t v = 0; v < ns; v++) order[--bucket[s->len[v]]] = v;
+  for (int32_t v = 0; v < ns; v++) order[--bucket[s->len(v)]] = v;
   for (int32_t k = ns - 1; k > 0; k--) {
     const int32_t v = order[k];
-    if (s->link[v] >= 0) s->cnt[s->link[v]] += s->cnt[v];
+    if (s->link(v) >= 0) s->cnt(s->link(v)) += s->cnt(v);
   }
-  s->len.shrink_to_fit();
-  s->link.shrink_to_fit();
+  s->hot.shrink_to_fit();
   s->fpos.shrink_to_fit();
-  s->nxt.shrink_to_fit();
   s->clone.shrink_to_fit();
   return s;
 }
@@ -265,14 +280,14 @@ static Sam *build(const uint8_t *ref, int64_t n) {
 
 static void prepare_tour(Sam *s) {
   if (!s->tour_lo.empty()) return;
-  const int32_t ns = (int32_t)s->len.size();
+  const int32_t ns = (int32_t)s->states;
   // children CSR over the link tree (root = 0)
   std::vector<int32_t> head(ns + 1, 0);
-  for (int32_t v = 1; v < ns; v++) head[s->link[v] + 1]++;
+  for (int32_t v = 1; v < ns; v++) head[s->link(v) + 1]++;
   for (int32_t v = 0; v < ns; v++) head[v + 1] += head[v];
   std::vector<int32_t> child(ns > 0 ? ns - 1 : 0);
   std::vector<int32_t> cursor(head.begin(), head.end() - 1);
-  for (int32_t v = 1; v < ns; v++) child[cursor[s->link[v]]++] = v;
+  for (int32_t v = 1; v < ns; v++) child[cursor[s->link(v)]++] = v;
   s->tour_lo.assign(ns, 0);
   s->tour_hi.assign(ns, 0);
   s->pos_list.reserve((size_t)s->n);
@@ -328,11 +343,11 @@ int64_t sam_stream_maxmatch(const void *h, const uint8_t *qry, int64_t m,
       continue;
     }
     const int c = raw;
-    while (cur != 0 && s->nxt[cur * sam_impl::SIGMA + c] == -1) {
-      cur = s->link[cur];
-      l = s->len[cur];
+    while (cur != 0 && s->nxt(cur, c) == -1) {
+      cur = s->link(cur);
+      l = s->len(cur);
     }
-    const int32_t t = s->nxt[cur * sam_impl::SIGMA + c];
+    const int32_t t = s->nxt(cur, c);
     if (t != -1) {
       cur = t;
       l++;
@@ -343,7 +358,7 @@ int64_t sam_stream_maxmatch(const void *h, const uint8_t *qry, int64_t m,
     int32_t v = cur;
     int32_t prev = -1;
     while (v != 0) {
-      const int32_t match_len = (prev == -1) ? l : s->len[v];
+      const int32_t match_len = (prev == -1) ? l : s->len(v);
       if (match_len < min_len) break;
       const int32_t lo = s->tour_lo[v];
       const int32_t hi = s->tour_hi[v];
@@ -362,7 +377,7 @@ int64_t sam_stream_maxmatch(const void *h, const uint8_t *qry, int64_t m,
         count++;
       }
       prev = v;
-      v = s->link[v];
+      v = s->link(v);
     }
   }
   return count;
@@ -376,7 +391,7 @@ void *sam_build(const uint8_t *ref, int64_t n) {
 void sam_free(void *h) { delete (sam_impl::Sam *)h; }
 
 int64_t sam_states(const void *h) {
-  return (int64_t)((const sam_impl::Sam *)h)->len.size();
+  return ((const sam_impl::Sam *)h)->states;
 }
 
 // Matching statistics of qry against the indexed ref.  For each forward
@@ -399,11 +414,11 @@ void sam_stream_ms(const void *h, const uint8_t *qry, int64_t m,
       continue;
     }
     const int c = raw;
-    while (cur != 0 && s->nxt[cur * sam_impl::SIGMA + c] == -1) {
-      cur = s->link[cur];
-      l = s->len[cur];
+    while (cur != 0 && s->nxt(cur, c) == -1) {
+      cur = s->link(cur);
+      l = s->len(cur);
     }
-    const int32_t t = s->nxt[cur * sam_impl::SIGMA + c];
+    const int32_t t = s->nxt(cur, c);
     if (t != -1) {
       cur = t;
       l++;
@@ -411,7 +426,7 @@ void sam_stream_ms(const void *h, const uint8_t *qry, int64_t m,
       l = 0;  // cur == root, no transition
     }
     ms_len[j] = l;
-    if (l > 0 && s->cnt[cur] == 1)
+    if (l > 0 && s->cnt(cur) == 1)
       ref_start[j] = s->n - 1 - (int64_t)s->fpos[cur];
     else
       ref_start[j] = -1;
