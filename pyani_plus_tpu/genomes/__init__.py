@@ -94,7 +94,9 @@ def load_genome(path: Path | str, md5: str | None = None) -> Genome:
     Mirrors the reference's ingest checks (db_genome,
     db_orm.py:835-877): compression must agree with the extension --
     gzip data without a ``.gz`` name or a ``.gz`` name over plain text
-    is an error, as is a file with no FASTA record at all.
+    is an error, as is gzip data with no FASTA record at all.  A PLAIN
+    file with no FASTA record silently ingests as an empty genome, as
+    the reference's check lives only in its gzip branch.
     """
     path = Path(path)
     if md5 is None:
@@ -117,7 +119,4 @@ def load_genome(path: Path | str, md5: str | None = None) -> Genome:
         with path.open("rb") as handle:
             for title, seq in fasta_bytes_iterator(handle):
                 records.append(SequenceRecord(title, encode_sequence(seq)))
-        if not records:
-            msg = f"File {path.name} is not recognised as a FASTA record"
-            raise ValueError(msg)
     return Genome(md5=md5, path=path, records=records)

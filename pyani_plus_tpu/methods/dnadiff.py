@@ -87,8 +87,12 @@ def compute_pair(query: Genome, subject: Genome) -> dict:
     # then split the survivors per query sequence for the qdiff walk.
     all_blocks: list[Alignment] = []
     all_keys: list[tuple[int, int]] = []
-    for q_idx, q_rec in enumerate(query.records):
-        for s_idx, s_rec in enumerate(subject.records):
+    # Subject-outer so each subject record's suffix-automaton index is
+    # reused across every query record before moving on -- query-outer
+    # order evicts multi-contig subjects from the SAM cache between
+    # uses (the filter below is order-insensitive, it groups by key).
+    for s_idx, s_rec in enumerate(subject.records):
+        for q_idx, q_rec in enumerate(query.records):
             blocks = align_sequences(s_rec.codes, q_rec.codes, mode="maxmatch")
             all_blocks.extend(blocks)
             all_keys.extend([(s_idx, q_idx)] * len(blocks))

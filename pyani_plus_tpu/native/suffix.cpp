@@ -365,7 +365,11 @@ int64_t sam_stream_maxmatch(const void *h, const uint8_t *qry, int64_t m,
       const int32_t skip_lo = (prev == -1) ? hi : s->tour_lo[prev];
       const int32_t skip_hi = (prev == -1) ? hi : s->tour_hi[prev];
       for (int32_t t2 = lo; t2 < hi; t2++) {
-        if (t2 == skip_lo) {
+        // Guard skip_lo < skip_hi: an empty child tour range (impossible
+        // today -- every non-root state's link subtree holds >= 1 primary
+        // position -- but only implicitly so) would otherwise make this
+        // jump re-land on t2 == skip_lo forever.
+        if (t2 == skip_lo && skip_lo < skip_hi) {
           t2 = skip_hi - 1;  // jump over the child's range
           continue;
         }

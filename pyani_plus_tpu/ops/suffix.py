@@ -33,13 +33,31 @@ class SeedIndexCache:
     Builds are de-duplicated across threads with per-key events.
     """
 
-    def __init__(self, sam_capacity: int = 8, rep_capacity: int = 64) -> None:
+    #: Rough bytes per automaton state: 32 B packed hot block (stride-8
+    #: nxt/link/len) + fpos/clone/tour_lo/tour_hi/pos_list side arrays.
+    _SAM_BYTES_PER_STATE = 56
+
+    def __init__(
+        self,
+        sam_capacity: int = 8,
+        rep_capacity: int = 64,
+        sam_budget_bytes: int = 1_500_000_000,
+    ) -> None:
         self._lock = threading.Lock()
         self._building: dict[tuple, threading.Event] = {}
         self._sam: OrderedDict = OrderedDict()
         self._rc: OrderedDict = OrderedDict()
         self.sam_capacity = sam_capacity
         self.rep_capacity = rep_capacity
+        self.sam_budget_bytes = sam_budget_bytes
+        self._sam_bytes = 0
+
+    @classmethod
+    def _entry_bytes(cls, value) -> int:
+        states = getattr(value, "states", None)
+        if states:
+            return int(states) * cls._SAM_BYTES_PER_STATE
+        return 0
 
     def _get_or_build(self, table, capacity, key, codes, builder):
         while True:
@@ -58,8 +76,21 @@ class SeedIndexCache:
             value = builder(codes)
             with self._lock:
                 table[key] = (codes, value)
-                while len(table) > capacity:
-                    table.popitem(last=False)
+                if table is self._sam:
+                    self._sam_bytes += self._entry_bytes(value)
+                # Evict by entry count AND (for automata) approximate byte
+                # budget: one 5.5 Mb subject pins ~0.5 GB, so a pure entry
+                # cap could hold gigabytes of bacterial indexes forever.
+                # Always keep the newest entry even if it alone exceeds
+                # the budget (it is about to be used).
+                while len(table) > capacity or (
+                    table is self._sam
+                    and len(table) > 1
+                    and self._sam_bytes > self.sam_budget_bytes
+                ):
+                    _, (_, old) = table.popitem(last=False)
+                    if table is self._sam:
+                        self._sam_bytes -= self._entry_bytes(old)
         finally:
             with self._lock:
                 del self._building[key]
@@ -94,11 +125,15 @@ class SeedIndexCache:
         with self._lock:
             self._sam.clear()
             self._rc.clear()
+            self._sam_bytes = 0
 
 
 SEED_CACHE = SeedIndexCache(
     sam_capacity=int(os.environ.get("PYANI_TPU_SAM_CACHE", "8")),
     rep_capacity=int(os.environ.get("PYANI_TPU_REP_CACHE", "64")),
+    sam_budget_bytes=int(
+        float(os.environ.get("PYANI_TPU_SAM_CACHE_MB", "1500")) * 1e6
+    ),
 )
 
 

@@ -216,10 +216,25 @@ def test_gzip_extension_mismatch_errors(tmp_path) -> None:
     with pytest.raises(ValueError, match="NOT gzip compressed"):
         load_genome(fake)
 
+    # A PLAIN file with non-FASTA content silently ingests as an empty
+    # genome (the reference's "not recognised as a FASTA record" check
+    # lives only in its gzip branch, db_orm.py:841-845 -- plain content
+    # raises BadGzipFile and skips it); an EMPTY file reads as an empty
+    # gzip stream, so it DOES hit the gzip-branch check, as do gzipped
+    # non-FASTA payloads.
+    garbage = tmp_path / "garbage.fasta"
+    garbage.write_bytes(b"this is not fasta\n")
+    plain = load_genome(garbage)
+    assert plain.length == 0 and plain.n_sequences == 0
     empty = tmp_path / "empty.fasta"
     empty.write_bytes(b"")
     with pytest.raises(ValueError, match="not recognised as a FASTA"):
         load_genome(empty)
+    bad_gz = tmp_path / "bad.fasta.gz"
+    with gzip.open(bad_gz, "wb") as fh:
+        fh.write(b"this is not fasta\n")
+    with pytest.raises(ValueError, match="not recognised as a FASTA"):
+        load_genome(bad_gz)
 
     # and through the CLI: a mismatched input fails the run
     indir = tmp_path / "genomes"
