@@ -48,9 +48,10 @@ def common_run_options(f):
     )(f)
     f = click.option(
         "--cache",
-        default=None,
+        default=Path(),
         type=click.Path(path_type=Path, file_okay=False),
-        help="Cache directory (sketches etc)",
+        help="Cache directory (sketches etc); default is the current "
+        "directory, matching the reference (public_cli.py:567)",
     )(f)
     f = click.option(
         "--log",
@@ -410,7 +411,9 @@ def external_alignment_cmd(  # noqa: PLR0913
     type=click.Path(path_type=Path, dir_okay=False, exists=True),
 )
 @click.option("--run-id", default=None, type=int, help="Run to resume (default latest)")
-@click.option("--cache", default=None, type=click.Path(path_type=Path, file_okay=False))
+@click.option(
+    "--cache", default=Path(), type=click.Path(path_type=Path, file_okay=False)
+)
 @click.option("--log", default=None, type=click.Path(path_type=Path, dir_okay=False))
 @click.option("--debug", is_flag=True, default=False)
 def resume_cmd(

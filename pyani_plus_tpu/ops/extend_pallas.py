@@ -53,6 +53,10 @@ WIDTH = 2 * BAND + 1  # 121 live band columns
 LANE = 128  # padded band width (TPU lane count)
 LB = 16  # batch lanes per grid step (sublane axis)
 CHUNK = 128  # rows per inner fori_loop; early-exit checks at this grain
+# The ONLY device shapes ever compiled: each distinct (m_cols, b_cols) is
+# a separate Mosaic compile (minutes over the axon tunnel), so m_cols is
+# clamped to this fixed ladder; longer tasks fall back to the host kernel.
+M_COLS_BUCKETS = (1280, 3456, 10240)
 
 
 def _shift_from_left(x, s, fill, lane_ids):
@@ -383,6 +387,35 @@ def batch_extend_pallas(
         return []
     if interpret is None:
         interpret = not _is_tpu_backend()
+    # Hard cap on device shapes: anything needing more than the largest
+    # fixed m_cols bucket runs on the bit-identical host kernel instead,
+    # so a run can never trigger an unbounded fresh Mosaic compile
+    # mid-flight (axon compiles cost minutes and are uncached
+    # service-side). ANIm's tasks are pre-capped at MAX_EXTENSION +
+    # breaklen = 10199 <= 10240, so this only fires for outside callers.
+    oversize = [t for t in range(nb) if tasks[t][0].size > M_COLS_BUCKETS[-1]]
+    if oversize:
+        from pyani_plus_tpu.ops.extend import extend_errors
+
+        keep = [t for t in range(nb) if tasks[t][0].size <= M_COLS_BUCKETS[-1]]
+        results_all: list[tuple[int, int, int, int, int] | None] = [None] * nb
+        for t, res in zip(
+            keep,
+            batch_extend_pallas(
+                [tasks[t] for t in keep],
+                stop_rows=stop_rows,
+                interpret=interpret,
+            ),
+        ):
+            results_all[t] = res
+        for t in oversize:
+            # extend_errors' give-up rule is stop_rows = 3 * breaklen;
+            # pass the equivalent breaklen so the host fallback applies
+            # the same abandonment semantics as the device lanes.
+            results_all[t] = extend_errors(
+                *tasks[t], breaklen=max(1, stop_rows // 3)
+            )
+        return results_all  # type: ignore[return-value]
     order = sorted(range(nb), key=lambda t: tasks[t][0].size, reverse=True)
     m_lens = np.zeros(nb, dtype=np.int32)
     n_lens = np.zeros(nb, dtype=np.int32)
@@ -397,12 +430,10 @@ def batch_extend_pallas(
     # minutes -- padded rows past max(m) are nearly free (the outer
     # while_loop exits at the block's true row count).
     m_need = -(-m_max // CHUNK) * CHUNK
-    for cand in (1280, 3456, 10240):
+    for cand in M_COLS_BUCKETS:
         if m_need <= cand:
             m_cols = cand
             break
-    else:
-        m_cols = m_need + CHUNK
     # free-end tasks are pre-trimmed to limit = min(m, n) + breaklen, so
     # n <= m + breaklen; +384 covers BAND+1+n_max and the chunk lookahead
     b_cols = m_cols + 384

@@ -270,3 +270,34 @@ def test_cli_duplicate_stem_export_errors(tmp_path) -> None:
          "--label", "stem"],
     )
     assert result.exit_code != 0
+
+
+def test_sourmash_sketch_cache_reused(tmp_path, monkeypatch) -> None:
+    """Per-genome sketches persist keyed (md5, k, scaled) and are reused.
+
+    Mirrors the reference's prepare_genomes signature cache
+    (methods/sourmash.py:34-84): the second run must load the cached
+    sketches and never call the sketching kernel again.
+    """
+    import pyani_plus_tpu.methods.sourmash as sm
+
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    _run_cli(
+        ["sourmash", str(VIRAL), "-d", str(tmp_path / "a.db"), "--create-db",
+         "--scaled", "300", "--cache", str(cache)]
+    )
+    sig_dir = cache / "sourmash_k=31_scaled=300"
+    assert len(list(sig_dir.glob("*.npy"))) == 3
+
+    def boom(*_a, **_k):  # pragma: no cover - called means cache miss
+        msg = "sketch_genome called despite warm cache"
+        raise AssertionError(msg)
+
+    monkeypatch.setattr(sm, "sketch_genome", boom)
+    _run_cli(
+        ["sourmash", str(VIRAL), "-d", str(tmp_path / "b.db"), "--create-db",
+         "--scaled", "300", "--cache", str(cache)]
+    )
+    with Database(tmp_path / "b.db") as db:
+        assert db.load_run().status == "Done"

@@ -123,6 +123,31 @@ def test_batch_extend_pallas_parity() -> None:
         assert tuple(got[idx]) == (i, j, err, nid, gap)
 
 
+def test_batch_extend_pallas_oversize_falls_back_to_host() -> None:
+    """Tasks longer than the largest fixed m_cols bucket never mint a
+    fresh Mosaic shape: they run on the bit-identical host kernel, in
+    their original task positions, alongside normal device-bucket
+    lanes."""
+    from pyani_plus_tpu.ops.extend import extend_errors
+    from pyani_plus_tpu.ops.extend_pallas import (
+        M_COLS_BUCKETS,
+        batch_extend_pallas,
+    )
+
+    rng = np.random.default_rng(7)
+    big = M_COLS_BUCKETS[-1] + 64
+    tasks = []
+    for m, n in ((big, 400), (300, 280), (big + 32, big), (256, 300)):
+        a = rng.integers(0, 4, m).astype(np.uint8)
+        b = a[: min(m, n)].copy()
+        mut = rng.random(b.size) < 0.05
+        b[mut] = (b[mut] + 1) % 4
+        tasks.append((a, b[:n] if n <= b.size else b))
+    got = batch_extend_pallas(tasks, stop_rows=600)
+    for idx, (a, b) in enumerate(tasks):
+        assert tuple(got[idx]) == tuple(extend_errors(a, b)), idx
+
+
 def test_anim_device_extension_pipeline_parity(monkeypatch) -> None:
     """Forcing the device extension path leaves ANIm results unchanged."""
     from pathlib import Path
