@@ -68,10 +68,23 @@ def common_run_options(f):
 @click.version_option(version=__version__)
 def app() -> None:
     """pyANI-plus-TPU: TPU-native whole-genome ANI classification."""
-    # Join a jax.distributed process group as early as possible (before
-    # anything can initialise the JAX backend) when launched as one.
     import os
 
+    # Honour an explicit JAX_PLATFORMS choice: the axon site hook
+    # registers its backend through the config API at interpreter start,
+    # which overrides the environment variable -- a caller exporting
+    # JAX_PLATFORMS=cpu (tests, CI) must actually get CPU.
+    platforms = os.environ.get("JAX_PLATFORMS")
+    if platforms and platforms != "axon":
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", platforms)
+        except Exception:  # pragma: no cover - backend already touched
+            pass
+
+    # Join a jax.distributed process group as early as possible (before
+    # anything can initialise the JAX backend) when launched as one.
     if os.environ.get("PYANI_TPU_COORDINATOR") or os.environ.get(
         "PYANI_TPU_AUTO_DISTRIBUTED"
     ):

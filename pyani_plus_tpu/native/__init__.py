@@ -217,6 +217,92 @@ def local_align_score_native(  # noqa: PLR0913
     )
 
 
+_SEEDJOIN_SO = _DIR / "libseedjoin.so"
+_SEEDJOIN_SRC = _DIR / "seedjoin.cpp"
+_seedjoin_lib = None
+_seedjoin_tried = False
+
+
+def _load_seedjoin():
+    global _seedjoin_lib, _seedjoin_tried
+    if _seedjoin_lib is not None or _seedjoin_tried:
+        return _seedjoin_lib
+    _seedjoin_tried = True
+    try:
+        _build(_SEEDJOIN_SRC, _SEEDJOIN_SO)
+        lib = ctypes.CDLL(str(_SEEDJOIN_SO))
+        p64 = ctypes.POINTER(ctypes.c_int64)
+        lib.seed_join_count_sorted.restype = ctypes.c_int64
+        lib.seed_join_count_sorted.argtypes = [
+            p64, ctypes.c_int64, p64, ctypes.c_int64,
+        ]
+        lib.seed_join_diags_sorted.restype = ctypes.c_int64
+        lib.seed_join_diags_sorted.argtypes = [
+            p64, p64, ctypes.c_int64,
+            p64, p64, p64, ctypes.c_int64,
+            ctypes.c_int64, p64, p64, ctypes.c_int64,
+        ]
+        _seedjoin_lib = lib
+    except Exception as exc:  # pragma: no cover - no compiler
+        logging.getLogger(__package__).debug(
+            "native seedjoin unavailable: %s", exc
+        )
+        _seedjoin_lib = None
+    return _seedjoin_lib
+
+
+def seed_join_diags_native(  # noqa: PLR0913
+    table_vals: np.ndarray,
+    table_pos: np.ndarray,
+    q_vals: np.ndarray,
+    q_within: np.ndarray,
+    q_frag: np.ndarray,
+    n_frags: int,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """(diags, per_fragment_counts) of the seed join, or None.
+
+    ``diags`` holds every hit's (table_pos - q_within), grouped by
+    fragment ascending and sorted ascending within each fragment's
+    slice (slice f = diags[counts[:f].sum() : counts[:f+1].sum()]).
+    ``table_vals`` must be ascending-sorted; ``q_vals``/``q_within``/
+    ``q_frag`` must be parallel arrays sorted by ``q_vals`` (merge join).
+    """
+    lib = _load_seedjoin()
+    if lib is None:
+        return None
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    tv = np.ascontiguousarray(table_vals, dtype=np.int64)
+    tp = np.ascontiguousarray(table_pos, dtype=np.int64)
+    qv = np.ascontiguousarray(q_vals, dtype=np.int64)
+    qw = np.ascontiguousarray(q_within, dtype=np.int64)
+    qf = np.ascontiguousarray(q_frag, dtype=np.int64)
+    total = int(
+        lib.seed_join_count_sorted(
+            tv.ctypes.data_as(p64), tv.size, qv.ctypes.data_as(p64), qv.size
+        )
+    )
+    out = np.empty(total, dtype=np.int64)
+    counts = np.zeros(n_frags, dtype=np.int64)
+    n = int(
+        lib.seed_join_diags_sorted(
+            tv.ctypes.data_as(p64),
+            tp.ctypes.data_as(p64),
+            tv.size,
+            qv.ctypes.data_as(p64),
+            qw.ctypes.data_as(p64),
+            qf.ctypes.data_as(p64),
+            qv.size,
+            n_frags,
+            counts.ctypes.data_as(p64),
+            out.ctypes.data_as(p64),
+            total,
+        )
+    )
+    if n < 0:  # pragma: no cover - count/fill mismatch cannot happen
+        return None
+    return out[:n], counts
+
+
 _suffix_lib = None
 _suffix_tried = False
 

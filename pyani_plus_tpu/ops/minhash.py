@@ -104,7 +104,7 @@ def intersection_matrix_host(sketches: list[Sketch]) -> np.ndarray:
 
 
 def intersection_matrix_device(
-    sketches: list[Sketch], *, block: int = 4096
+    sketches: list[Sketch], *, block: int = 4096, mesh="auto"
 ) -> np.ndarray:
     """All-pairs |A n B| on the TPU MXU via blocked membership matmuls.
 
@@ -119,6 +119,13 @@ def intersection_matrix_device(
     wall time over the tunneled device). Products are 0/1 so bfloat16
     operands are exact; counts stay exact below 2^24 in the float32
     accumulator.
+
+    On a multi-device host the counts tile is sharded over the
+    production 2D ("q", "s") pair-grid mesh (``mesh="auto"`` picks
+    :func:`pyani_plus_tpu.parallel.tiles.default_pair_mesh`): each
+    device computes its (N/nq x N/ns) Gram tile, so all local chips
+    contribute -- the SURVEY section 2.4 local-executor analogue. Pass
+    ``mesh=None`` to force single-device execution.
     """
     import jax
     import jax.numpy as jnp
@@ -129,6 +136,19 @@ def intersection_matrix_device(
     sizes = [s.hashes.size for s in sketches]
     if sum(sizes) == 0:
         return np.zeros((n, n), dtype=np.int64)
+    if mesh == "auto":
+        from pyani_plus_tpu.parallel.tiles import default_pair_mesh
+
+        mesh = default_pair_mesh()
+    out_sharding = None
+    n_rows = n
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        nq, ns = mesh.devices.shape
+        tile_mult = int(np.lcm(nq, ns))
+        n_rows = -(-n // tile_mult) * tile_mult
+        out_sharding = NamedSharding(mesh, PartitionSpec("q", "s"))
     all_hashes = np.concatenate([s.hashes for s in sketches])
     union, inverse = np.unique(all_hashes, return_inverse=True)
     u = union.size
@@ -143,24 +163,23 @@ def intersection_matrix_device(
     rows_sorted = rows[order]
     per_block = np.bincount(ids_sorted // block, minlength=nblocks)
     p_max = int(per_block.max())
-    # Flat index into the (n * block) membership vector; the pad value
-    # n * block scatters into a sacrificial extra slot.
+    # Flat index into the (n_rows * block) membership vector; the pad
+    # value n_rows * block scatters into a sacrificial extra slot.
     flat = (rows_sorted * block + (ids_sorted % block)).astype(np.int32)
-    pts = np.full((nblocks, p_max), n * block, dtype=np.int32)
+    pts = np.full((nblocks, p_max), n_rows * block, dtype=np.int32)
     offsets = np.concatenate(([0], np.cumsum(per_block)))
     for b in range(nblocks):
         seg = flat[offsets[b] : offsets[b + 1]]
         pts[b, : seg.size] = seg
 
-    @jax.jit
     def all_blocks(pts_dev):
         def body(counts, pts_b):
             mem = (
-                jnp.zeros((n * block + 1,), jnp.bfloat16)
+                jnp.zeros((n_rows * block + 1,), jnp.bfloat16)
                 .at[pts_b]
                 .set(jnp.bfloat16(1))
             )
-            mf = mem[:-1].reshape(n, block)
+            mf = mem[:-1].reshape(n_rows, block)
             return (
                 counts
                 + jnp.dot(mf, mf.T, preferred_element_type=jnp.float32),
@@ -168,21 +187,27 @@ def intersection_matrix_device(
             )
 
         counts, _ = jax.lax.scan(
-            body, jnp.zeros((n, n), jnp.float32), pts_dev
+            body, jnp.zeros((n_rows, n_rows), jnp.float32), pts_dev
         )
         # Fetch as int32: counts are exact integers below 2^24 in the
         # float32 accumulator, and halving the device->host transfer
         # matters over the tunneled link (n x n result dominates it).
         return counts.astype(jnp.int32)
 
-    counts = all_blocks(jnp.asarray(pts))
-    return np.asarray(counts).astype(np.int64)
+    jitted = (
+        jax.jit(all_blocks)
+        if out_sharding is None
+        else jax.jit(all_blocks, out_shardings=out_sharding)
+    )
+    counts = jitted(jnp.asarray(pts))
+    return np.asarray(counts)[:n, :n].astype(np.int64)
 
 
 def containment_ani(
     sketches: list[Sketch],
     *,
     use_device: bool | None = None,
+    mesh="auto",
 ) -> tuple[np.ndarray, np.ndarray]:
     """All-pairs (identity, cov_query) matrices for the sourmash method.
 
@@ -199,7 +224,7 @@ def containment_ani(
         total = sum(s.hashes.size for s in sketches)
         use_device = n >= 64 and total > 1 << 18
     inter = (
-        intersection_matrix_device(sketches)
+        intersection_matrix_device(sketches, mesh=mesh)
         if use_device
         else intersection_matrix_host(sketches)
     )

@@ -49,6 +49,12 @@ class SeedIndex:
     def hits(self, query_codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """All (query_pos, subject_pos) exact k-mer matches."""
         q_values, q_pos = pack_kmers(query_codes, self.k)
+        return self.hits_packed(q_values, q_pos)
+
+    def hits_packed(
+        self, q_values: np.ndarray, q_pos: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Hash-join pre-packed query k-mers against the table."""
         if q_values.size == 0 or self.values.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         lo = np.searchsorted(self.values, q_values, side="left")
@@ -58,9 +64,14 @@ class SeedIndex:
         if total == 0:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         qp = np.repeat(q_pos, counts)
-        offsets = np.concatenate(
-            [np.arange(c) + start for c, start in zip(counts, lo) if c > 0]
+        # Within-group offsets without a Python loop: arange(total) minus
+        # each group's flat start, plus its table start.
+        keep = counts > 0
+        starts = np.repeat(lo[keep], counts[keep])
+        flat_starts = np.repeat(
+            np.concatenate(([0], np.cumsum(counts[keep])[:-1])), counts[keep]
         )
+        offsets = np.arange(total, dtype=np.int64) - flat_starts + starts
         sp = self.positions[offsets]
         return qp, sp
 
@@ -80,11 +91,41 @@ def candidate_bands(
     """
     if q_pos.size == 0:
         return []
-    diags = s_pos - q_pos
-    diags_sorted = np.sort(diags)
-    # Split where the gap between consecutive diagonals exceeds band_merge
-    splits = np.nonzero(np.diff(diags_sorted) > band_merge)[0] + 1
-    groups = np.split(diags_sorted, splits)
-    bands = [(int(g[0]), int(g[-1]), int(g.size)) for g in groups]
-    bands.sort(key=lambda b: -b[2])
-    return bands[:max_bands]
+    diags_sorted = np.sort(s_pos - q_pos)
+    return bands_from_sorted_diags(
+        diags_sorted, band_merge=band_merge, max_bands=max_bands
+    )
+
+
+def bands_from_sorted_diags(
+    diags_sorted: np.ndarray,
+    *,
+    band_merge: int = 48,
+    max_bands: int = 4,
+) -> list[tuple[int, int, int]]:
+    """Band clustering over an already-sorted diagonal array (vectorised).
+
+    Runs are detected with a diff/flatnonzero scan -- no per-group array
+    materialisation (np.split was the ANIb profile's top cost). The tie
+    rule matches the original list.sort: equal counts keep ascending
+    diagonal order.
+    """
+    n = diags_sorted.size
+    if n == 0:
+        return []
+    gap = np.diff(diags_sorted) > band_merge
+    starts = np.flatnonzero(np.concatenate(([True], gap)))
+    ends = np.concatenate((starts[1:], [n]))
+    counts = ends - starts
+    if counts.size > max_bands:
+        top = np.argsort(-counts, kind="stable")[:max_bands]
+    else:
+        top = np.argsort(-counts, kind="stable")
+    return [
+        (
+            int(diags_sorted[starts[i]]),
+            int(diags_sorted[ends[i] - 1]),
+            int(counts[i]),
+        )
+        for i in top
+    ]

@@ -219,57 +219,67 @@ def resume_run(  # noqa: PLR0913, C901
         except ValueError:  # pragma: no cover - non-main thread
             pass
 
-        run.set_status("Running")
-        genomes: dict[str, Genome] = {}
-        for md5 in hashes:
-            genomes[md5] = load_genome(hash_to_filename[md5], md5)
-
-        def flush(rows: list[dict]) -> None:
-            # Incremental persist: INSERT OR IGNORE makes repeats harmless
-            db.insert_comparisons(rows, configuration_id=run.configuration_id)
-            logger.debug("Flushed %d comparisons", len(rows))
-
-        # Live progress over the pending pairs (the reference's Rich
-        # progress columns, __init__.py:50-58; progress there is polled
-        # from the DB by a separate process -- here the methods tick the
-        # context directly, no polling needed).
-        from rich.progress import (
-            BarColumn,
-            MofNCompleteColumn,
-            Progress,
-            SpinnerColumn,
-            TimeElapsedColumn,
-        )
-
-        progress = Progress(
-            SpinnerColumn(),
-            "[progress.description]{task.description}",
-            BarColumn(),
-            MofNCompleteColumn(),
-            TimeElapsedColumn(),
-            transient=True,
-        )
-        task_id = progress.add_task(
-            f"{config.get('method', 'ANI')} comparisons", total=len(pending)
-        )
-
-        ctx = ComputeContext(
-            logger=logger,
-            genomes=genomes,
-            query_hashes=hashes,
-            subject_hashes=hashes,
-            pending=pending,
-            config=config,
-            cache=cache,
-            extra_files=extra_files or {},
-            progress=lambda n: progress.advance(task_id, n),
-            flush=flush,
-        )
-        # Real profiling (the reference has none -- SURVEY.md section 5):
-        # PYANI_TPU_PROFILE=<dir> captures a jax profiler trace of the
-        # compute phase, viewable in TensorBoard/XProf.
-        profile_dir = os.environ.get("PYANI_TPU_PROFILE")
+        # EVERYTHING from here on is interrupt-protected -- an interrupt
+        # while genomes load or the backend initialises must still leave
+        # the run in "Worker interrupted", not stuck "Running" (the
+        # reference installs its handlers before any per-column work,
+        # private_cli.py:816-823).
+        ctx = None
         try:
+            run.set_status("Running")
+            genomes: dict[str, Genome] = {}
+            for md5 in hashes:
+                genomes[md5] = load_genome(hash_to_filename[md5], md5)
+
+            def flush(rows: list[dict]) -> None:
+                # Incremental persist: INSERT OR IGNORE makes repeats
+                # harmless
+                db.insert_comparisons(
+                    rows, configuration_id=run.configuration_id
+                )
+                logger.debug("Flushed %d comparisons", len(rows))
+
+            # Live progress over the pending pairs (the reference's Rich
+            # progress columns, __init__.py:50-58; progress there is
+            # polled from the DB by a separate process -- here the
+            # methods tick the context directly, no polling needed).
+            from rich.progress import (
+                BarColumn,
+                MofNCompleteColumn,
+                Progress,
+                SpinnerColumn,
+                TimeElapsedColumn,
+            )
+
+            progress = Progress(
+                SpinnerColumn(),
+                "[progress.description]{task.description}",
+                BarColumn(),
+                MofNCompleteColumn(),
+                TimeElapsedColumn(),
+                transient=True,
+            )
+            task_id = progress.add_task(
+                f"{config.get('method', 'ANI')} comparisons",
+                total=len(pending),
+            )
+
+            ctx = ComputeContext(
+                logger=logger,
+                genomes=genomes,
+                query_hashes=hashes,
+                subject_hashes=hashes,
+                pending=pending,
+                config=config,
+                cache=cache,
+                extra_files=extra_files or {},
+                progress=lambda n: progress.advance(task_id, n),
+                flush=flush,
+            )
+            # Real profiling (the reference has none -- SURVEY.md
+            # section 5): PYANI_TPU_PROFILE=<dir> captures a jax
+            # profiler trace of the compute phase (TensorBoard/XProf).
+            profile_dir = os.environ.get("PYANI_TPU_PROFILE")
             with progress:
                 if profile_dir:
                     import jax
@@ -287,7 +297,7 @@ def resume_run(  # noqa: PLR0913, C901
             # In a process group, still join the merge below with
             # whatever was completed so the peers don't deadlock.
             interrupted = True
-        interrupted = interrupted or ctx.interrupted
+        interrupted = interrupted or (ctx is not None and ctx.interrupted)
 
     if collective:
         # Collective result merge (ICI/DCN all-gather) replaces the

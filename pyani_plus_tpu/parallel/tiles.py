@@ -38,6 +38,35 @@ def make_mesh(n_devices: int | None = None, *, axis_names=("q", "s")):
     return Mesh(dev_array, axis_names)
 
 
+_DEFAULT_MESH_CACHE: dict[tuple, object] = {}
+
+
+def default_pair_mesh():
+    """The production pair-grid mesh: all local devices, or None for one.
+
+    Every multi-device host automatically shards the pair-grid kernels
+    (sourmash containment Gram, batched DP dispatch) over this mesh --
+    the TPU-native analogue of the reference's local executor using all
+    cores (workflows/__init__.py:158-171). ``PYANI_TPU_MESH=0`` forces
+    single-device execution.
+    """
+    import os
+
+    import jax
+
+    if os.environ.get("PYANI_TPU_MESH", "1") == "0":
+        return None
+    devices = jax.devices()
+    if len(devices) < 2:
+        return None
+    key = tuple(getattr(d, "id", i) for i, d in enumerate(devices))
+    mesh = _DEFAULT_MESH_CACHE.get(key)
+    if mesh is None:
+        mesh = make_mesh()
+        _DEFAULT_MESH_CACHE[key] = mesh
+    return mesh
+
+
 def pad_to_multiple(array: np.ndarray, multiple: int, axis: int) -> np.ndarray:
     """Zero-pad an axis up to a multiple (static-shape friendliness)."""
     size = array.shape[axis]
