@@ -6,9 +6,10 @@ reference). Per (query, subject) pair:
 1. chop every query sequence into floor(len/3000) non-overlapping 3 kb
    fragments (incomplete tails dropped, like fastANI);
 2. map each fragment to the subject via winnowed MinHash
-   (ops/fastani_map.py), keeping the best mapping per fragment with
-   estimated identity >= 80%;
-3. reciprocal (orthology) filter on the reference axis;
+   (ops/fastani_map.py), keeping the best mapping per fragment whose
+   CI-quantised identity upper bound reaches 80%;
+3. cgi.hpp reference-bin dedup: best mapping per (ref sequence,
+   position // fragLen) bin (ops/fastani_map.ref_bin_filter);
 4. ANI% = mean mapping identity; matched = surviving fragment count;
    report only if matched*fraglen >= minFraction * min(genome lengths).
 
@@ -37,8 +38,7 @@ from pyani_plus_tpu.ops.fastani_map import (
     FragmentMapping,
     RefIndex,
     map_fragment,
-    n_window_steps,
-    reference_filter,
+    ref_bin_filter,
 )
 from pyani_plus_tpu.ops.minimizers import window_minimizers
 
@@ -112,16 +112,10 @@ def compute_pair(  # noqa: PLR0913
     else:
         results = [_map_one(i) for i in range(total)]
     mappings: list[FragmentMapping] = [mp for mp in results if mp is not None]
-    w_steps = n_window_steps(fragsize, kmersize, WINDOW_SIZE)
-    mappings = reference_filter(mappings, w_steps)
-    # One mapping per fragment already (best kept in map_fragment); the
-    # reference filter may drop some. Dedupe defensively by fragment id.
-    by_fragment: dict[int, FragmentMapping] = {}
-    for mp in mappings:
-        prev = by_fragment.get(mp.fragment_id)
-        if prev is None or mp.identity > prev.identity:
-            by_fragment[mp.fragment_id] = mp
-    kept = list(by_fragment.values())
+    # cgi.hpp order: one (best) mapping per query fragment, then the
+    # reference-bin dedup removes fragments that map onto an already-
+    # claimed reference bin (ops/fastani_map.ref_bin_filter).
+    kept = ref_bin_filter(mappings, fragsize, WINDOW_SIZE)
     matches = len(kept)
     if matches == 0:
         return None

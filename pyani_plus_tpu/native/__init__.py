@@ -767,8 +767,14 @@ def _load_fastani():
             ctypes.c_int64,
             ctypes.c_int64,
             ctypes.c_int64,
+            ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.fastani_eval_region_all.restype = None
+        lib.fastani_eval_region_all.argtypes = (
+            lib.fastani_eval_region.argtypes[:10]
+            + [ctypes.POINTER(ctypes.c_int64)]
+        )
         lib.fastani_winnow.restype = ctypes.c_int64
         lib.fastani_winnow.argtypes = [
             ctypes.POINTER(ctypes.c_uint8),
@@ -798,8 +804,13 @@ def fastani_eval_region_native(  # noqa: PLR0913
     event_t: np.ndarray,
     w_steps: int,
     s: int,
+    region_b: int | None = None,
 ):
-    """Fenwick-sweep region evaluation -> (shared, t), or None."""
+    """Fenwick-sweep region eval -> (shared, first_t, plateau_end), or None.
+
+    ``region_b`` is the last anchor of the region for the plateau-end
+    extension (defaults to the last event).
+    """
     lib = _load_fastani()
     if lib is None:
         return None
@@ -808,8 +819,46 @@ def fastani_eval_region_native(  # noqa: PLR0913
     ef = np.ascontiguousarray(entry_first, dtype=np.int64)
     el = np.ascontiguousarray(entry_last, dtype=np.int64)
     ev = np.ascontiguousarray(event_t, dtype=np.int64)
-    out = np.zeros(2, dtype=np.int64)
+    if region_b is None:
+        region_b = int(ev[-1]) if ev.size else 0
+    out = np.zeros(3, dtype=np.int64)
     lib.fastani_eval_region(
+        qh.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        qh.size,
+        eh.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ef.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        el.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        eh.size,
+        ev.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ev.size,
+        w_steps,
+        s,
+        region_b,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return int(out[0]), int(out[1]), int(out[2])
+
+
+def fastani_eval_region_all_native(  # noqa: PLR0913
+    query_hashes_sorted: np.ndarray,
+    entry_hash: np.ndarray,
+    entry_first: np.ndarray,
+    entry_last: np.ndarray,
+    event_t: np.ndarray,
+    w_steps: int,
+    s: int,
+) -> np.ndarray | None:
+    """Shared count at EVERY event window (L2 diagnostics), or None."""
+    lib = _load_fastani()
+    if lib is None:
+        return None
+    qh = np.ascontiguousarray(query_hashes_sorted, dtype=np.uint64)
+    eh = np.ascontiguousarray(entry_hash, dtype=np.uint64)
+    ef = np.ascontiguousarray(entry_first, dtype=np.int64)
+    el = np.ascontiguousarray(entry_last, dtype=np.int64)
+    ev = np.ascontiguousarray(event_t, dtype=np.int64)
+    out = np.zeros(max(1, ev.size), dtype=np.int64)
+    lib.fastani_eval_region_all(
         qh.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         qh.size,
         eh.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
@@ -822,7 +871,7 @@ def fastani_eval_region_native(  # noqa: PLR0913
         s,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
-    return int(out[0]), int(out[1])
+    return out[: ev.size]
 
 
 def fastani_winnow_native(seq_bytes, k: int, w: int, seed: int = 42):
@@ -902,6 +951,7 @@ def _bind_map_fragment(lib):
         ctypes.c_int64,
         ctypes.c_int64,
         ctypes.c_int64,
+        ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64),
     ]
     lib._map_fragment_bound = True
@@ -920,9 +970,11 @@ def fastani_map_fragment_native(  # noqa: PLR0913
     seq_ids: np.ndarray,
     w_steps: int,
     s: int,
-    m: int,
+    frag_span: int,
+    min_anchor: int,
 ):
-    """Full native fragment L2 mapping -> (shared, t, seq_id), or None."""
+    """Full native fragment L2 mapping -> (shared, plateau_end, seq_id),
+    or None when the native library is unavailable."""
     lib = _load_fastani()
     if lib is None:
         return None
@@ -944,7 +996,8 @@ def fastani_map_fragment_native(  # noqa: PLR0913
         seq_ids.size,
         w_steps,
         s,
-        m,
+        frag_span,
+        min_anchor,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return int(out[0]), int(out[1]), int(out[2])

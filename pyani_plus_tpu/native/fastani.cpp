@@ -130,15 +130,24 @@ struct Fenwick {
 //   qh[nq]            sorted unique query sketch hashes
 //   eh/ef/el[ne]      region pick runs: hash, first step, last step
 //   ev[nev]           ascending window anchor steps to evaluate
+//   region_b          last anchor position of the region (for the
+//                     plateau-end extension; pass ev[nev-1] to disable)
 // A run is active at anchor t iff t in [ef - w_steps + 1, el].
-// out[0] = best shared count, out[1] = anchor step of the first maximum.
+// out[0] = best shared count, out[1] = anchor step of the first maximum,
+// out[2] = plateau end: the last integer anchor still achieving the
+// maximum (the step function is constant between events, so this is
+// the event AFTER the last maximal event minus one, or region_b when
+// the plateau runs to the region end). fastANI's L2 reports this
+// trailing optimal position (validated against the fixture bin-dedup
+// counts; see CLAUDE.md fastANI notes).
 static void eval_region_impl(const uint64_t *qh, int64_t nq,
                              const uint64_t *eh, const int64_t *ef,
                              const int64_t *el, int64_t ne, const int64_t *ev,
                              int64_t nev, int64_t w_steps, int64_t s,
-                             int64_t *out) {
+                             int64_t region_b, int64_t *out) {
   out[0] = 0;
   out[1] = nev ? ev[0] : 0;
+  out[2] = nev ? region_b : 0;
   if (!nev || !ne) return;
 
   // Domain = sorted union of query hashes and run hashes.
@@ -205,7 +214,7 @@ static void eval_region_impl(const uint64_t *qh, int64_t nq,
       union_total++;
     }
 
-  int64_t best_shared = 0, best_t = ev[0];
+  int64_t best_shared = 0, best_t = ev[0], last_max_j = 0;
   for (int64_t j = 0; j < nev; j++) {
     for (int32_t a = add_cnt[(size_t)j]; a < add_cnt[(size_t)j + 1]; a++) {
       const int d = run_d[(size_t)add_runs[(size_t)a]];
@@ -241,10 +250,14 @@ static void eval_region_impl(const uint64_t *qh, int64_t nq,
     if (shared_j > best_shared) {
       best_shared = shared_j;
       best_t = ev[j];
+      last_max_j = j;
+    } else if (shared_j == best_shared) {
+      last_max_j = j;
     }
   }
   out[0] = best_shared;
   out[1] = best_t;
+  out[2] = (last_max_j + 1 < nev) ? ev[last_max_j + 1] - 1 : region_b;
 }
 
 // Evaluate one merged candidate region [a, b] of one sequence whose index
@@ -253,6 +266,7 @@ static void eval_region_impl(const uint64_t *qh, int64_t nq,
 // contiguous entry range since first and last steps are each ascending
 // within a sequence (the numpy oracle's boolean run_mask selects exactly
 // this set). Events are every content-change anchor clipped to [a, b].
+// out[0]=best shared, out[1]=first-max anchor, out[2]=plateau end.
 static void eval_merged_region(const uint64_t *ref_hash,
                                const int64_t *ref_first,
                                const int64_t *ref_last, int64_t b_lo,
@@ -262,6 +276,7 @@ static void eval_merged_region(const uint64_t *ref_hash,
                                int64_t *out) {
   out[0] = 0;
   out[1] = -1;
+  out[2] = -1;
   const int64_t *last_begin = ref_last + b_lo;
   const int64_t *last_end = ref_last + b_hi;
   const int64_t rlo =
@@ -285,7 +300,8 @@ static void eval_merged_region(const uint64_t *ref_hash,
   std::sort(events.begin(), events.end());
   events.erase(std::unique(events.begin(), events.end()), events.end());
   eval_region_impl(qh, nq, ref_hash + rlo, ref_first + rlo, ref_last + rlo,
-                   nr, events.data(), (int64_t)events.size(), w_steps, s, out);
+                   nr, events.data(), (int64_t)events.size(), w_steps, s, b,
+                   out);
 }
 
 }  // namespace
@@ -295,8 +311,88 @@ extern "C" {
 void fastani_eval_region(const uint64_t *qh, int64_t nq, const uint64_t *eh,
                          const int64_t *ef, const int64_t *el, int64_t ne,
                          const int64_t *ev, int64_t nev, int64_t w_steps,
-                         int64_t s, int64_t *out) {
-  eval_region_impl(qh, nq, eh, ef, el, ne, ev, nev, w_steps, s, out);
+                         int64_t s, int64_t region_b, int64_t *out) {
+  eval_region_impl(qh, nq, eh, ef, el, ne, ev, nev, w_steps, s, region_b,
+                   out);
+}
+
+// Like fastani_eval_region but writes the shared count of EVERY event
+// window into out_shared[nev] (experiment/diagnostic surface for L2
+// semantics studies; the sweep itself is identical).
+void fastani_eval_region_all(const uint64_t *qh, int64_t nq,
+                             const uint64_t *eh, const int64_t *ef,
+                             const int64_t *el, int64_t ne, const int64_t *ev,
+                             int64_t nev, int64_t w_steps, int64_t s,
+                             int64_t *out_shared) {
+  if (!nev) return;
+  for (int64_t j = 0; j < nev; j++) out_shared[j] = 0;
+  if (!ne) return;
+  std::vector<uint64_t> eh_u(eh, eh + ne);
+  std::sort(eh_u.begin(), eh_u.end());
+  eh_u.erase(std::unique(eh_u.begin(), eh_u.end()), eh_u.end());
+  std::vector<uint64_t> domain((size_t)nq + eh_u.size());
+  std::merge(qh, qh + nq, eh_u.begin(), eh_u.end(), domain.begin());
+  domain.erase(std::unique(domain.begin(), domain.end()), domain.end());
+  const int D = (int)domain.size();
+  std::vector<uint8_t> in_query((size_t)D, 0);
+  {
+    size_t j = 0;
+    for (int64_t i = 0; i < nq; i++) {
+      while (domain[j] < qh[i]) j++;
+      in_query[j] = 1;
+    }
+  }
+  Fenwick bit_union, bit_shared;
+  bit_union.init(D);
+  bit_shared.init(D);
+  std::vector<int32_t> ref_count((size_t)D, 0);
+  int union_total = 0, shared_total = 0;
+  for (int d = 0; d < D; d++)
+    if (in_query[(size_t)d]) {
+      bit_union.add(d, 1);
+      union_total++;
+    }
+  // Per-event add/remove lists (same bucketing as eval_region_impl).
+  std::vector<std::vector<int32_t>> adds((size_t)nev), rems((size_t)nev);
+  for (int64_t i = 0; i < ne; i++) {
+    const int64_t lo =
+        std::lower_bound(ev, ev + nev, ef[i] - w_steps + 1) - ev;
+    const int64_t hi = std::upper_bound(ev, ev + nev, el[i]) - ev;
+    if (lo >= hi) continue;
+    const int32_t d = (int32_t)(std::lower_bound(domain.begin(), domain.end(),
+                                                 eh[i]) -
+                                domain.begin());
+    adds[(size_t)lo].push_back(d);
+    if (hi < nev) rems[(size_t)hi].push_back(d);
+  }
+  for (int64_t j = 0; j < nev; j++) {
+    for (int32_t d : adds[(size_t)j])
+      if (ref_count[(size_t)d]++ == 0) {
+        if (in_query[(size_t)d]) {
+          bit_shared.add(d, 1);
+          shared_total++;
+        } else {
+          bit_union.add(d, 1);
+          union_total++;
+        }
+      }
+    for (int32_t d : rems[(size_t)j])
+      if (--ref_count[(size_t)d] == 0) {
+        if (in_query[(size_t)d]) {
+          bit_shared.add(d, -1);
+          shared_total--;
+        } else {
+          bit_union.add(d, -1);
+          union_total--;
+        }
+      }
+    if (union_total <= s) {
+      out_shared[j] = shared_total;
+    } else {
+      const int p = bit_union.kth((int)s);
+      out_shared[j] = bit_shared.prefix(p + 1);
+    }
+  }
 }
 
 // Full L2 mapping of one fragment sketch against a reference index
@@ -308,15 +404,22 @@ void fastani_eval_region(const uint64_t *qh, int64_t nq, const uint64_t *eh,
 //   ref_hash_sorted[n]         one-time sort of ref_hash
 //   ref_sorted_entry[n]        argsort indices (sorted pos -> entry)
 //   seq_lo/seq_hi/seq_ids      per-present-sequence entry ranges
-//   m                          L1 minimum-hits threshold
-// out[0]=best shared, out[1]=anchor step, out[2]=seq id (-1 when no hit).
+//   frag_span                  fastANI's L1 candidate span (Q.len = the
+//                              fragment length in bases, NOT w_steps):
+//                              each hit t seeds anchors [t-frag_span+1, t]
+// Candidate regions are the merged per-hit intervals (fastANI's L1 with
+// minimumHits relaxed to 1 -- the acceptance gate, not L1, does the
+// filtering; validated against the fixture outputs).
+// out[0]=best shared, out[1]=plateau-end anchor step (the last optimal
+// window position -- what fastANI reports and bins by), out[2]=seq id
+// (-1 when no hit).
 void fastani_map_fragment(
     const uint64_t *qh, int64_t nq, const uint64_t *ref_hash,
     const int64_t *ref_first, const int64_t *ref_last, const int32_t *ref_seq,
     const uint64_t *ref_hash_sorted, const int64_t *ref_sorted_entry,
     int64_t n_entries, const int64_t *seq_lo, const int64_t *seq_hi,
     const int32_t *seq_ids, int64_t n_seqs, int64_t w_steps, int64_t s,
-    int64_t m, int64_t *out) {
+    int64_t frag_span, int64_t min_anchor, int64_t *out) {
   out[0] = 0;
   out[1] = -1;
   out[2] = -1;
@@ -339,7 +442,7 @@ void fastani_map_fragment(
 
   int64_t best_shared = 0, best_t = -1, best_seq = -1;
   std::vector<int64_t> events, t_hits;
-  int64_t eval_out[2];
+  int64_t eval_out[3];
 
   size_t g = 0;
   for (int64_t sq = 0; sq < n_seqs; sq++) {
@@ -351,16 +454,15 @@ void fastani_map_fragment(
     while (g < hits.size() && hits[g].first == sid)
       t_hits.push_back(hits[g++].second);
     const int64_t cnt = (int64_t)t_hits.size();
-    if (cnt < m) continue;
+    if (!cnt) continue;
 
-    // Candidate anchor intervals [a, b], merged while overlapping.
+    // Merged per-hit candidate anchor intervals [a, b].
     const int64_t b_lo = seq_lo[sq], b_hi = seq_hi[sq];
     int64_t reg_a = -1, reg_b = -1;
     bool have_region = false;
-    for (int64_t j = 0; j + m - 1 < cnt; j++) {
-      if (t_hits[(size_t)(j + m - 1)] - t_hits[(size_t)j] >= w_steps) continue;
-      int64_t a = t_hits[(size_t)(j + m - 1)] - w_steps + 1;
-      if (a < 0) a = 0;
+    for (int64_t j = 0; j < cnt; j++) {
+      int64_t a = t_hits[(size_t)j] - frag_span + 1;
+      if (a < min_anchor) a = min_anchor;
       int64_t b = t_hits[(size_t)j];
       if (b < a) b = a;
       if (have_region && a <= reg_b) {
@@ -373,7 +475,7 @@ void fastani_map_fragment(
                            reg_b, qh, nq, w_steps, s, events, eval_out);
         if (eval_out[0] > best_shared) {
           best_shared = eval_out[0];
-          best_t = eval_out[1];
+          best_t = eval_out[2];
           best_seq = sid;
         }
       }
@@ -386,7 +488,7 @@ void fastani_map_fragment(
                          reg_b, qh, nq, w_steps, s, events, eval_out);
       if (eval_out[0] > best_shared) {
         best_shared = eval_out[0];
-        best_t = eval_out[1];
+        best_t = eval_out[2];
         best_seq = sid;
       }
     }

@@ -21,9 +21,18 @@ d = -1/k ln(2j/(1+j)).
 
 Self-alignment therefore yields j = 1 exactly, reproducing fastANI's
 100% self-ANI (and its < 100% anomaly on N-runs, since N bytes hash
-literally). Remaining deviation from the fastANI binary is < ~0.0006
-identity on the reference fixtures: fastANI's L2 evaluates candidate
-windows at heuristic anchor points rather than the exact maximum.
+literally). The round-3 semantics study (fixture .fastani outputs as
+the oracle) pinned three further fastANI behaviours now implemented
+here: the reported/binned position is the plateau END (the last optimal
+window position), acceptance quantises the binomial upper quantile to
+an integer sketch count (see identity_upper_bound), and the cgi stage
+dedups by (ref sequence, position // fragLen) bin (ref_bin_filter).
+Remaining deviation from the binary on the fixtures: bacterial
+<= 0.20 ANI points / <= 30 retained fragments, viral <= 0.06 with
+exact counts; the residue is fastANI's vendored-MashMap slide
+evaluating a slightly different (sparser) anchor set, which its
+outputs alone do not fully pin down (the MIBY01000011 self pair shows
+its J dips below 1 where the exact window maximum cannot).
 
 The per-candidate-region evaluation is a dense (events x hash-domain)
 membership computation -- interval scatter, cumsum, rank reductions --
@@ -161,10 +170,20 @@ class FragmentMapping:
 
     fragment_id: int
     ref_seq_id: int
-    ref_step: int  # window-step anchor t of the (leftmost) optimal window
+    ref_step: int  # window-step of the LAST optimal window (plateau end)
     shared: int
     sketch_size: int
     identity: float  # percent nucleotide identity estimate
+
+    def ref_wpos(self, w: int = WINDOW_SIZE) -> int:
+        """Plateau end in windowId units (~ base offset of window start).
+
+        This is the position fastANI reports and its cgi stage bins by
+        (refStartPos // fragLen); validated against the fixture self-pair
+        retained counts (1820/1825 etc.), which only reproduce when the
+        binned position is the TRAILING optimal window position.
+        """
+        return self.ref_step - (w - 1)
 
 
 CONFIDENCE = 0.9  # MashMap confidence interval for acceptance bounds
@@ -180,13 +199,18 @@ def identity_upper_bound(
     at ci=0.9) -- this is why fastANI keeps sub-threshold fragments on
     divergent genomes (e.g. 877 of 1825 at mean ANI 82.9 on the
     bacterial fixtures' NC_010338 vs NC_002696, where a point-estimate
-    gate keeps only 738 at mean 84.5). The bound here is the normal
-    approximation of the binomial CI on the Jaccard (one-sided
-    z = 1.6449 for ci=0.9 two-sided), which was calibrated against the
-    16 bacterial fixture pairs: it brings the worst ANI deviation from
-    1.87 down to 0.43 percentage points (the residue is fastANI's
-    vendored-MashMap L2 window evaluation details, which its outputs
-    alone do not pin down; see CLAUDE.md exactness notes).
+    gate keeps only 738 at mean 84.5).
+
+    The bound is the INTEGER-QUANTISED normal approximation of the
+    binomial upper quantile -- the boost-free replacement fastANI ships:
+    x = max(ceil(s*j + z*sqrt(s*j*(1-j))), 1) shared sketches at the
+    one-sided z for ci=0.9 (z = 1.6449), then j_hi = x/s.  The ceil
+    quantisation is what admits shared=2 at s~238 (j_hi = 5/s) while
+    rejecting shared=1, which the fixture retained-fragment counts
+    require: the continuous bound leaves bacterial counts 65-84 low and
+    ANI up to +0.76 high, the ceil bound lands within 30 fragments and
+    0.20 ANI points on every fixture pair (round-3 semantics study;
+    see CLAUDE.md fastANI notes).
     """
     import math
 
@@ -196,7 +220,10 @@ def identity_upper_bound(
         from scipy.stats import norm
 
         z = float(norm.ppf(1.0 - (1.0 - ci) / 2.0))
-    j_hi = min(1.0, j_obs + z * math.sqrt(j_obs * (1.0 - j_obs) / s))
+    x = max(
+        math.ceil(s * j_obs + z * math.sqrt(s * j_obs * (1.0 - j_obs))), 1
+    )
+    j_hi = min(1.0, x / s)
     return 100.0 * (1.0 - j2md(j_hi, k))
 
 
@@ -251,26 +278,30 @@ def _evaluate_region(  # noqa: PLR0913
     event_t: np.ndarray,  # window anchor steps to evaluate (ascending)
     w_steps: int,
     s: int,
-) -> tuple[int, int]:
-    """Max top-s-union shared count over the event windows -> (shared, t).
+    region_b: int | None = None,
+) -> tuple[int, int, int]:
+    """Max top-s-union shared count over the event windows ->
+    (shared, first_t, plateau_end).
 
     A run is inside window anchored at t iff it intersects steps
     [t, t + w_steps - 1], i.e. t in [first - w_steps + 1, last].
-    Dispatches to the native Fenwick-sweep kernel when available
-    (O((runs+events) log domain) vs this dense O(events x domain) oracle;
-    bit-identical, fuzzed in tests/test_fastani.py).
+    ``plateau_end`` is the last integer anchor still achieving the
+    maximum (the step function is constant between events), clipped to
+    ``region_b``. Dispatches to the native Fenwick-sweep kernel when
+    available (O((runs+events) log domain) vs this dense
+    O(events x domain) oracle; bit-identical, fuzz-tested).
     """
     from pyani_plus_tpu.native import fastani_eval_region_native
 
     res = fastani_eval_region_native(
         query_hashes_sorted, entry_hash, entry_first, entry_last,
-        event_t, w_steps, s,
+        event_t, w_steps, s, region_b,
     )
     if res is not None:
         return res
     return _evaluate_region_numpy(
         query_hashes_sorted, entry_hash, entry_first, entry_last,
-        event_t, w_steps, s,
+        event_t, w_steps, s, region_b,
     )
 
 
@@ -282,8 +313,11 @@ def _evaluate_region_numpy(  # noqa: PLR0913
     event_t: np.ndarray,
     w_steps: int,
     s: int,
-) -> tuple[int, int]:
+    region_b: int | None = None,
+) -> tuple[int, int, int]:
     """Numpy oracle for :func:`_evaluate_region` (kept for parity tests)."""
+    if region_b is None:
+        region_b = int(event_t[-1]) if event_t.size else 0
     domain = np.union1d(query_hashes_sorted, entry_hash)  # sorted unique
     in_query = np.isin(domain, query_hashes_sorted, assume_unique=True)
     n_events = event_t.size
@@ -302,7 +336,9 @@ def _evaluate_region_numpy(  # noqa: PLR0913
     within_s = ranks <= s
     shared = (ref_member & in_query[None, :] & within_s).sum(axis=1)
     best = int(shared.argmax())
-    return int(shared[best]), int(event_t[best])
+    last = int(np.flatnonzero(shared == shared[best])[-1])
+    plateau_end = int(event_t[last + 1]) - 1 if last + 1 < n_events else region_b
+    return int(shared[best]), int(event_t[best]), plateau_end
 
 
 def map_fragment(  # noqa: PLR0913, C901
@@ -320,7 +356,6 @@ def map_fragment(  # noqa: PLR0913, C901
     query_hashes = np.unique(frag_minimizers.hashes)
     s = int(query_hashes.size)
     w_steps = n_window_steps(frag_len, k, w)
-    m = estimate_minimum_hits_relaxed(s, k, perc_identity)
 
     from pyani_plus_tpu.native import fastani_map_fragment_native
 
@@ -337,7 +372,8 @@ def map_fragment(  # noqa: PLR0913, C901
         ref.seq_ids_arr,
         w_steps,
         s,
-        m,
+        frag_len,
+        w - 1,
     )
     if native is not None:
         best_shared, best_t, best_seq = native
@@ -345,17 +381,29 @@ def map_fragment(  # noqa: PLR0913, C901
             best_shared, best_t, best_seq, s, k, perc_identity, fragment_id
         )
     best_shared, best_t, best_seq = _search_mappings_numpy(
-        query_hashes, ref, w_steps, s, m
+        query_hashes, ref, w_steps, s, frag_len, w - 1
     )
     return _finish_mapping(
         best_shared, best_t, best_seq, s, k, perc_identity, fragment_id
     )
 
 
-def _search_mappings_numpy(
-    query_hashes: np.ndarray, ref: RefIndex, w_steps: int, s: int, m: int
+def _search_mappings_numpy(  # noqa: PLR0913
+    query_hashes: np.ndarray,
+    ref: RefIndex,
+    w_steps: int,
+    s: int,
+    frag_span: int,
+    min_anchor: int,
 ) -> tuple[int, int, int]:
-    """Numpy oracle for the native fragment L2 search (parity-tested)."""
+    """Numpy oracle for the native fragment L2 search (parity-tested).
+
+    Candidate anchor regions are the merged per-hit intervals
+    [max(min_anchor, t - frag_span + 1), t] -- fastANI's L1 with
+    frag_span = Q.len (the acceptance gate does the filtering); the
+    result position is the plateau END of the best region (see
+    FragmentMapping.ref_wpos).
+    """
     # L1: every index run whose hash is in the fragment sketch
     # (searchsorted join against the pre-sorted hash column)
     lo = np.searchsorted(ref.hashes_sorted, query_hashes, side="left")
@@ -377,23 +425,15 @@ def _search_mappings_numpy(
     best_shared, best_t, best_seq = 0, -1, -1
     for sid in np.unique(hit_seq):
         t_hits = hit_t[hit_seq == sid]
-        if t_hits.size < m:
-            continue
-        spans_ok = t_hits[m - 1 :] - t_hits[: t_hits.size - m + 1] < w_steps
-        if not spans_ok.any():
-            continue
-        # Candidate anchor-step intervals [a, b]: windows containing m hits
-        starts = np.maximum(
-            t_hits[m - 1 :][spans_ok] - w_steps + 1, 0
-        )
-        ends = t_hits[: t_hits.size - m + 1][spans_ok]
+        starts = np.maximum(t_hits - frag_span + 1, min_anchor)
+        ends = np.maximum(t_hits, starts)
         regions: list[tuple[int, int]] = []
         for a, b in zip(starts, ends):
-            b = max(int(a), int(b))  # noqa: PLW2901
+            a, b = int(a), int(b)  # noqa: PLW2901
             if regions and a <= regions[-1][1]:
                 regions[-1] = (regions[-1][0], max(regions[-1][1], b))
             else:
-                regions.append((int(a), b))
+                regions.append((a, b))
 
         b_lo, b_hi = ref.seq_bounds[int(sid)]
         seq_hash = ref.hashes[b_lo:b_hi]
@@ -413,11 +453,11 @@ def _search_mappings_numpy(
                     np.concatenate([e_first - w_steps + 1, e_last + 1, [a]]), a, b
                 )
             )
-            shared, t_opt = _evaluate_region(
-                query_hashes, e_hash, e_first, e_last, events, w_steps, s
+            shared, _t_first, t_end = _evaluate_region(
+                query_hashes, e_hash, e_first, e_last, events, w_steps, s, b
             )
             if shared > best_shared:
-                best_shared, best_t, best_seq = shared, t_opt, int(sid)
+                best_shared, best_t, best_seq = shared, t_end, int(sid)
 
     return best_shared, best_t, best_seq
 
@@ -451,42 +491,33 @@ def _finish_mapping(  # noqa: PLR0913
     )
 
 
-def reference_filter(
-    mappings: list[FragmentMapping], w_steps: int
+def ref_bin_filter(
+    mappings: list[FragmentMapping],
+    fragsize: int = FRAG_LEN,
+    w: int = WINDOW_SIZE,
 ) -> list[FragmentMapping]:
-    """Plane-sweep on the reference axis: keep mappings that are the best
-    (max identity, ties kept) at some reference window they cover.
+    """fastANI cgi.hpp's reference-bin dedup (computeGenomeCoreIdentity).
 
-    Combined with best-per-fragment selection this keeps only 1-1 style
-    mappings -- the reciprocal/orthology filter (fastANI's Filter::ref).
+    After picking the best mapping per query fragment, fastANI removes
+    redundant mappings where multiple query fragments map to the same
+    reference region: mappings bin by (ref sequence,
+    reported_position // fragLen) and only the highest-identity mapping
+    per bin is retained (ties: lowest fragment id, matching the
+    iteration order of its max_element over the bin).  This dedup is
+    what produces the fixture self-pair retained counts (1820/1825,
+    1338/1338, 1346/1347, 1549/1551 -- all reproduced).
     """
-    if not mappings:
-        return []
-    survivors: set[int] = set()
-    by_seq: dict[int, list[int]] = {}
-    for idx, mp in enumerate(mappings):
-        by_seq.setdefault(mp.ref_seq_id, []).append(idx)
-    for idxs in by_seq.values():
-        events: list[tuple[int, int, int]] = []
-        for idx in idxs:
-            mp = mappings[idx]
-            events.append((mp.ref_step, 1, idx))
-            events.append((mp.ref_step + w_steps, -1, idx))
-        events.sort(key=lambda e: (e[0], -e[1]))
-        active: set[int] = set()
-        i = 0
-        while i < len(events):
-            pos = events[i][0]
-            while i < len(events) and events[i][0] == pos:
-                _, typ, idx = events[i]
-                if typ == 1:
-                    active.add(idx)
-                else:
-                    active.discard(idx)
-                i += 1
-            if active:
-                best = max(mappings[idx].identity for idx in active)
-                survivors.update(
-                    idx for idx in active if mappings[idx].identity == best
-                )
-    return [mappings[idx] for idx in sorted(survivors)]
+    rows = sorted(
+        (mp.ref_seq_id, mp.ref_wpos(w) // fragsize, -mp.identity,
+         mp.fragment_id, mp)
+        for mp in mappings
+    )
+    kept: list[FragmentMapping] = []
+    seen: set[tuple[int, int]] = set()
+    for seq_id, bin_id, _negi, _fid, mp in rows:
+        if (seq_id, bin_id) in seen:
+            continue
+        seen.add((seq_id, bin_id))
+        kept.append(mp)
+    kept.sort(key=lambda mp: mp.fragment_id)
+    return kept

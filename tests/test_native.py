@@ -167,7 +167,6 @@ def test_fastani_map_fragment_native_parity() -> None:
     from pyani_plus_tpu.ops.fastani_map import (
         RefIndex,
         _search_mappings_numpy,
-        estimate_minimum_hits_relaxed,
         n_window_steps,
     )
     from pyani_plus_tpu.ops.minimizers import window_minimizers
@@ -189,8 +188,7 @@ def test_fastani_map_fragment_native_parity() -> None:
             continue
         qh = np.unique(mins.hashes)
         s = int(qh.size)
-        m = estimate_minimum_hits_relaxed(s, 16, 80.0)
-        expected = _search_mappings_numpy(qh, ref, w_steps, s, m)
+        expected = _search_mappings_numpy(qh, ref, w_steps, s, 3000, 23)
         got = fastani_map_fragment_native(
             qh,
             ref.hashes,
@@ -204,6 +202,7 @@ def test_fastani_map_fragment_native_parity() -> None:
             ref.seq_ids_arr,
             w_steps,
             s,
-            m,
+            3000,
+            23,
         )
         assert tuple(got) == tuple(expected)
