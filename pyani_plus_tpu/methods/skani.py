@@ -29,19 +29,23 @@ fixture matrices):
    corrects this with a learned regression whose coefficients are not
    public, so we apply a piecewise-linear map (below).
 
-Debias provenance (round-2 simulation study; held-out checks in
-tests/test_skani.py): for ANI >= 0.97 the raw estimator tracks the
-true mutation rate to ~5e-4 on synthetic point-mutated genomes the
-calibration never saw (true 0.996 -> raw 0.9960, true 0.985 -> raw
-0.9848), independently confirming the near-identity debias anchors
-(0.99605 -> 0.9964 is within the simulation scatter of the identity
-map). Below ~0.95, uniform-mutation simulations CANNOT reproduce the
-real inter-species bias (uniform mutations: raw 0.931 at true 0.92;
-real 86%-ANI fixture pairs: raw 0.936 at skani-reported 0.855 -- the
-bias is dominated by conservation heterogeneity, which chaining
-selects for), so the divergent-end anchor comes from the fixture
-pairs, standing in for skani's unpublished learned regression.
-Residuals ~2e-3 on the fixtures.
+Debias provenance (round-2 + round-3 simulation studies; held-out
+checks in tests/test_skani.py, simulator in
+analysis/skani_debias_sim.py): for ANI >= 0.97 the estimator tracks
+the true mutation rate to a few 1e-3 on synthetic pairs the
+calibration never saw -- point mutations (round 2) AND
+block-heterogeneous rates + indels + inversions (round 3) -- so the
+near-identity anchors are validated, not fitted. Below ~0.95 the
+overestimate is MECHANISTIC (chains survive in conserved blocks:
+heterogeneous simulations reproduce raw ~0.95-0.975 at true
+0.80-0.86), but the exact (raw, af) -> ANI map is NOT identifiable
+from synthetic data: across defensible heterogeneity priors the true
+ANI at fixture-matched observables spans +-0.03, an envelope that
+brackets skani's reported values without pinning them. skani's own
+learned regression encodes its (non-public) training distribution, so
+the divergent-end anchors here come from the fixture pairs, standing
+in for that model; the mechanism, direction, and envelope are locked
+by tests. Residuals ~2e-3 on the fixtures.
 
 Output rounding: skani prints ANI and aligned fractions as percentages
 with 2 decimals; the stored values divide the printed number by 100.

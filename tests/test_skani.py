@@ -104,3 +104,67 @@ def test_heldout_monotone_in_divergence() -> None:
         assert got["identity"] is not None
         vals.append(got["identity"])
     assert all(a > b for a, b in zip(vals, vals[1:])), vals
+
+
+def _fixture_ancestor(length: int = 500_000):
+    import numpy as np
+
+    fx = FIXTURES / "bacterial_example" / "NC_002696.fasta.gz"
+    if not fx.is_file():
+        pytest.skip("reference fixtures not available")
+    g = load_genome(fx)
+    return max(g.records, key=lambda r: r.codes.size).codes[:length]
+
+
+def test_heldout_high_identity_with_indels_and_rearrangements() -> None:
+    """VERDICT r2 item 5: the >= 0.97 held-out validation extended
+    beyond point mutations -- block-heterogeneous rates, short indels,
+    and inversions (pyani_plus_tpu.analysis.skani_debias_sim). The full
+    estimator (raw + debias) must still track the known truth."""
+    import numpy as np
+
+    from pyani_plus_tpu.analysis.skani_debias_sim import evolve
+    from pyani_plus_tpu.genomes import Genome, SequenceRecord
+
+    codes = _fixture_ancestor()
+    rng = np.random.default_rng(42)
+    for d, tol in ((0.005, 0.004), (0.02, 0.006)):
+        derived, true_id = evolve(codes, rng, d_total=d, n_inv=2)
+        q = Genome(md5="q" * 32, path=None,
+                   records=[SequenceRecord(b"q", derived)])
+        s = Genome(md5="s" * 32, path=None,
+                   records=[SequenceRecord(b"s", codes)])
+        got = compute_pair(q, s, "fast")
+        assert got["identity"] is not None
+        assert abs(got["identity"] - true_id) <= tol, (d, got["identity"],
+                                                       true_id)
+
+
+def test_divergent_conditioning_bias_mechanism() -> None:
+    """The raw estimator's overestimate at divergence is mechanistic
+    (chains survive in conserved blocks), and the debias corrects in
+    the right direction by roughly the right amount -- the synthetic
+    envelope that brackets the fixture-anchored divergent-end map
+    (see analysis/skani_debias_sim.py for why an exact synthetic-only
+    fit is not identifiable)."""
+    import numpy as np
+
+    from pyani_plus_tpu.analysis.skani_debias_sim import evolve, measure_raw
+    from pyani_plus_tpu.methods.skani import _debias
+
+    codes = _fixture_ancestor()
+    rng = np.random.default_rng(7)
+    derived, true_id = evolve(
+        codes, rng, d_total=0.16, cons_frac=0.25, ratio=5.0, block_mean=600
+    )
+    r = measure_raw(codes, derived)
+    assert r["identity"] is not None
+    raw = r["identity"]
+    # mechanism: raw overestimates the true ANI substantially
+    assert raw - true_id >= 0.06, (raw, true_id)
+    # the debias corrects toward the truth (its strength is calibrated
+    # to the fixture pairs' raw ~0.936, so this simulated point at a
+    # slightly higher raw only gets a partial correction)
+    corrected = _debias(raw)
+    assert corrected < raw
+    assert abs(corrected - true_id) < abs(raw - true_id)
