@@ -34,17 +34,29 @@ _DECODE = np.frombuffer(b"ACGTN", dtype=np.uint8)
 
 
 def encode_sequence(seq: bytes) -> np.ndarray:
-    """Encode a DNA sequence (bytes) to uint8 codes 0..3, with 4 = masked."""
+    """Encode a DNA sequence (bytes) to uint8 codes 0..3, with 4 = masked.
+
+    >>> encode_sequence(b"ACGTacgtN-W").tolist()
+    [0, 1, 2, 3, 0, 1, 2, 3, 4, 4, 4]
+    """
     return _ENCODE[np.frombuffer(seq, dtype=np.uint8)]
 
 
 def decode_sequence(codes: np.ndarray) -> bytes:
-    """Decode uint8 codes back to uppercase ASCII bytes (masked -> N)."""
+    """Decode uint8 codes back to uppercase ASCII bytes (masked -> N).
+
+    >>> decode_sequence(encode_sequence(b"acgtN"))
+    b'ACGTN'
+    """
     return _DECODE[np.minimum(codes, CODE_N)].tobytes()
 
 
 def complement_codes(codes: np.ndarray) -> np.ndarray:
-    """Complement 2-bit codes (A<->T, C<->G); masked stays masked."""
+    """Complement 2-bit codes (A<->T, C<->G); masked stays masked.
+
+    >>> decode_sequence(complement_codes(encode_sequence(b"ACGTN")))
+    b'TGCAN'
+    """
     comp = (3 - codes).astype(np.uint8)
     return np.where(codes >= CODE_N, codes, comp)
 

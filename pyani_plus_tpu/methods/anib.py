@@ -60,7 +60,15 @@ N_BREAK_RUN = 12
 def split_at_n_runs(
     codes: np.ndarray, min_run: int = N_BREAK_RUN
 ) -> list[tuple[int, np.ndarray]]:
-    """(offset, piece) segments of codes split at non-ACGT runs >= min_run."""
+    """(offset, piece) segments of codes split at non-ACGT runs >= min_run.
+
+    >>> import numpy as np
+    >>> codes = np.array([0, 1, 4, 4, 4, 2, 3], dtype=np.uint8)
+    >>> [(int(off), piece.tolist()) for off, piece in split_at_n_runs(codes, 3)]
+    [(0, [0, 1]), (5, [2, 3])]
+    >>> [(off, len(p)) for off, p in split_at_n_runs(codes, 4)]
+    [(0, 7)]
+    """
     invalid = codes >= 4
     if not invalid.any():
         return [(0, codes)]

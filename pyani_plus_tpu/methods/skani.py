@@ -102,6 +102,15 @@ def configuration(*, mode: str = DEFAULT_MODE) -> dict:
 
 
 def _debias(raw: float) -> float:
+    """Piecewise-linear raw -> reported ANI map (see module docstring).
+
+    >>> _debias(0.9523)
+    0.95
+    >>> _debias(0.99954)
+    1.0
+    >>> round(_debias(0.93609), 5)
+    0.85515
+    """
     pts = _DEBIAS
     if raw >= pts[-1][0]:
         return 1.0

@@ -56,19 +56,35 @@ PERC_IDENTITY = 80.0  # fastANI default mapping identity cutoff
 
 
 def md2j(d: float, k: int) -> float:
-    """Mash distance -> Jaccard (MashMap Stat::md2j)."""
+    """Mash distance -> Jaccard (MashMap Stat::md2j).
+
+    >>> round(md2j(0.2, 16), 6)  # 80% identity at k=16
+    0.020805
+    >>> md2j(0.0, 16)
+    1.0
+    """
     return 1.0 / (2.0 * exp(d * k) - 1.0)
 
 
 def j2md(j: float, k: int) -> float:
-    """Jaccard -> Mash distance (MashMap Stat::j2md)."""
+    """Jaccard -> Mash distance (MashMap Stat::j2md).
+
+    >>> round(j2md(md2j(0.1, 16), 16), 12)
+    0.1
+    >>> j2md(0.0, 16)
+    1.0
+    """
     if j == 0:
         return 1.0
     return (-1.0 / k) * log(2.0 * j / (1.0 + j))
 
 
 def n_window_steps(frag_len: int, k: int, w: int) -> int:
-    """Number of window steps inside a fragment of length frag_len."""
+    """Number of window steps inside a fragment of length frag_len.
+
+    >>> n_window_steps(3000, 16, 24)  # fastANI's countMinimizerWindows
+    2962
+    """
     return frag_len - k - w + 2
 
 

@@ -33,8 +33,14 @@ DEFAULT_SCALED = 1000  # ref methods/sourmash.py:30
 def max_hash_for_scaled(scaled: int) -> int:
     """sourmash's scaled -> max_hash mapping (float64 rounding included).
 
-    Matches the ``max_hash`` recorded in reference fixture .sig files,
-    e.g. scaled=300 -> 61489146912365176.
+    Matches the ``max_hash`` recorded in reference fixture .sig files:
+
+    >>> max_hash_for_scaled(300)
+    61489146912365176
+    >>> max_hash_for_scaled(1000)
+    18446744073709552
+    >>> max_hash_for_scaled(1)
+    18446744073709551615
     """
     if scaled <= 0:
         msg = f"scaled must be positive, got {scaled}"

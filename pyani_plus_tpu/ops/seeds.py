@@ -109,6 +109,14 @@ def bands_from_sorted_diags(
     materialisation (np.split was the ANIb profile's top cost). The tie
     rule matches the original list.sort: equal counts keep ascending
     diagonal order.
+
+    >>> import numpy as np
+    >>> bands_from_sorted_diags(np.array([0, 3, 200, 201, 202]))
+    [(200, 202, 3), (0, 3, 2)]
+    >>> bands_from_sorted_diags(np.array([0, 3, 5, 200, 201, 202]))
+    [(0, 5, 3), (200, 202, 3)]
+    >>> bands_from_sorted_diags(np.array([7]), max_bands=2)
+    [(7, 7, 1)]
     """
     n = diags_sorted.size
     if n == 0:

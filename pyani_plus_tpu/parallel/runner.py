@@ -142,6 +142,20 @@ def resume_run(  # noqa: PLR0913, C901
     }
     method = get_method(config_obj.method)
 
+    # Reference resume re-validates before any compute
+    # (public_cli.py:751-807): the recorded program version must match
+    # the one running now, and every input FASTA must still exist.
+    from pyani_plus_tpu import __version__
+
+    if config_obj.version and config_obj.version != __version__:
+        log_sys_exit(
+            logger,
+            f"Run {run.run_id} used {config_obj.program} version "
+            f"{config_obj.version}, but this is {__version__} -- cannot "
+            "resume (rerun instead; matching the reference's tool-version "
+            "equality check)",
+        )
+
     hashes = run.genome_hashes
     n = len(hashes)
     if hash_to_filename is None:

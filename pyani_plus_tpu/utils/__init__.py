@@ -34,6 +34,12 @@ def fasta_bytes_iterator(
     semantics as the reference iterator (utils.py:40-90): anything before
     the first ``>`` header is ignored, and an entirely header-less file
     yields nothing.
+
+    >>> import io
+    >>> list(fasta_bytes_iterator(io.BytesIO(b">seq one\\nAC GT\\nTT\\n")))
+    [(b'seq one', b'ACGTTT')]
+    >>> list(fasta_bytes_iterator(io.BytesIO(b"no header at all\\n")))
+    []
     """
     if not isinstance(handle.read(0), bytes):
         msg = "Function fasta_bytes_iterator requires a handle in binary mode"
@@ -69,7 +75,11 @@ def filename_stem(filename: str) -> str:
 
 
 def str_md5sum(text: str, encoding: str = "ascii") -> str:
-    """Return the 32-char hex MD5 of the given string (like ``md5sum``)."""
+    """Return the 32-char hex MD5 of the given string (like ``md5sum``).
+
+    >>> str_md5sum("pyani-plus\\n")
+    'ac1427f5ff5221d9efdfecb6d2aa0c42'
+    """
     return hashlib.md5(text.encode(encoding)).hexdigest()  # noqa: S324
 
 

@@ -8,21 +8,27 @@ the real chip happens in bench.py, not here.
 import os
 from pathlib import Path
 
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-# The environment pins JAX_PLATFORMS=axon (real TPU via tunnel) at
-# interpreter startup, so an env var is not enough -- force the host
-# platform through the config API before any backend initialisation.
-os.environ["JAX_PLATFORMS"] = "cpu"
-try:
-    import jax
+# PYANI_TPU_TEST_REAL=1 keeps the real accelerator backend so the
+# compiled-mode (non-interpret) tests in test_tpu_compiled.py can run
+# against the actual chip: PYANI_TPU_TEST_REAL=1 pytest
+# tests/test_tpu_compiled.py. Everything else runs on the virtual
+# 8-device CPU mesh.
+if os.environ.get("PYANI_TPU_TEST_REAL") != "1":
+    xla_flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in xla_flags:
+        os.environ["XLA_FLAGS"] = (
+            xla_flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    # The environment pins JAX_PLATFORMS=axon (real TPU via tunnel) at
+    # interpreter startup, so an env var is not enough -- force the host
+    # platform through the config API before any backend initialisation.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        import jax
 
-    jax.config.update("jax_platforms", "cpu")
-except Exception:  # pragma: no cover - jax missing or already initialised
-    pass
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:  # pragma: no cover - jax missing or initialised
+        pass
 
 import pytest
 

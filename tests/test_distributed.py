@@ -100,3 +100,75 @@ def test_concurrent_process_group_private_stores(tmp_path) -> None:
             "SELECT COUNT(*) FROM comparisons"
         ).fetchone()[0]
     assert 0 < count1 < 9
+
+
+def test_slurm_auto_detect_branch(monkeypatch) -> None:
+    """PYANI_TPU_AUTO_DISTRIBUTED + a SLURM env joins the auto-detected
+    cluster (distributed.py's launcher auto-detect path, previously
+    untested -- VERDICT r2 item 6)."""
+    import jax
+
+    import pyani_plus_tpu.parallel.distributed as dist
+
+    calls = {}
+
+    def fake_initialize(*args, **kwargs):
+        calls["args"] = (args, kwargs)
+
+    monkeypatch.setattr(dist, "_initialized", False)
+    monkeypatch.setattr(jax.distributed, "initialize", fake_initialize)
+    monkeypatch.setattr(jax, "process_index", lambda: 3)
+    monkeypatch.setattr(jax, "process_count", lambda: 7)
+    monkeypatch.setenv("PYANI_TPU_AUTO_DISTRIBUTED", "1")
+    monkeypatch.setenv("SLURM_JOB_ID", "424242")
+    monkeypatch.delenv(dist.ENV_COORDINATOR, raising=False)
+    try:
+        assert dist.maybe_initialize() == (3, 7)
+        # auto-detect path: no explicit coordinator arguments
+        assert calls["args"] == ((), {})
+        assert dist.is_initialized()
+    finally:
+        dist._initialized = False
+
+
+def test_auto_detect_requires_opt_in(monkeypatch) -> None:
+    """A SLURM allocation WITHOUT the opt-in env stays single-process
+    (matching the reference needing --executor slurm explicitly)."""
+    import jax
+
+    import pyani_plus_tpu.parallel.distributed as dist
+
+    def boom(*a, **k):  # pragma: no cover - called means wrong branch
+        raise AssertionError("initialize called without opt-in")
+
+    monkeypatch.setattr(dist, "_initialized", False)
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    monkeypatch.delenv("PYANI_TPU_AUTO_DISTRIBUTED", raising=False)
+    monkeypatch.setenv("SLURM_JOB_ID", "424242")
+    monkeypatch.delenv(dist.ENV_COORDINATOR, raising=False)
+    assert dist.maybe_initialize() == (0, 1)
+    assert not dist.is_initialized()
+
+
+def test_mpi_env_triggers_auto_detect(monkeypatch) -> None:
+    """OMPI_COMM_WORLD_SIZE also triggers the opted-in auto-detect."""
+    import jax
+
+    import pyani_plus_tpu.parallel.distributed as dist
+
+    called = []
+    monkeypatch.setattr(dist, "_initialized", False)
+    monkeypatch.setattr(
+        jax.distributed, "initialize", lambda *a, **k: called.append(1)
+    )
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setenv("PYANI_TPU_AUTO_DISTRIBUTED", "1")
+    monkeypatch.delenv("SLURM_JOB_ID", raising=False)
+    monkeypatch.setenv("OMPI_COMM_WORLD_SIZE", "2")
+    monkeypatch.delenv(dist.ENV_COORDINATOR, raising=False)
+    try:
+        assert dist.maybe_initialize() == (0, 2)
+        assert called
+    finally:
+        dist._initialized = False

@@ -20,14 +20,16 @@ from pyani_plus_tpu.db import Database
 VIRAL = Path("/root/reference/tests/fixtures/viral_example")
 
 
-def _write_related_genomes(directory: Path, count: int = 8) -> None:
+def _write_related_genomes(
+    directory: Path, count: int = 8, length: int = 60_000
+) -> None:
     """Synthetic ~1%-divergent genomes so the run lasts long enough to
     interrupt deterministically (the reference's interrupt test also
     uses generated genomes, tests/test_interrupt.py:41-57)."""
     import numpy as np
 
     rng = np.random.default_rng(42)
-    base = rng.integers(0, 4, 60_000).astype(np.uint8)
+    base = rng.integers(0, 4, length).astype(np.uint8)
     alphabet = np.frombuffer(b"ACGT", dtype=np.uint8)
     for i in range(count):
         variant = base.copy()
@@ -40,10 +42,19 @@ def _write_related_genomes(directory: Path, count: int = 8) -> None:
                 handle.write(seq[start : start + 60] + b"\n")
 
 
-def test_sigint_mid_anim_run(tmp_path) -> None:
+@pytest.mark.parametrize("method", ["anim", "fastani"])
+def test_sigint_mid_run(method, tmp_path) -> None:
+    """SIGINT fault injection per method (reference runs resume-from-
+    partial for every method, test_public_cli.py:1145-1578; here the
+    interrupt contract is exercised for an alignment method and a
+    sketch method end-to-end)."""
     genomes_dir = tmp_path / "genomes"
     genomes_dir.mkdir()
-    _write_related_genomes(genomes_dir)
+    # fastANI pairs are much faster than ANIm pairs; use larger genomes
+    # so the run reliably outlives the interrupt poll.
+    _write_related_genomes(
+        genomes_dir, length=60_000 if method == "anim" else 400_000
+    )
     n_pairs = 64
     db_path = tmp_path / "db.sqlite"
     env = dict(os.environ)
@@ -53,7 +64,7 @@ def test_sigint_mid_anim_run(tmp_path) -> None:
             sys.executable,
             "-m",
             "pyani_plus_tpu.cli.main",
-            "anim",
+            method,
             str(genomes_dir),
             "-d",
             str(db_path),

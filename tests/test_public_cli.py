@@ -341,3 +341,117 @@ def test_export_import_comparisons_roundtrip(runner, sourmash_run, tmp_path) -> 
     with Database(new_db) as db:
         rows = db.conn.execute("SELECT COUNT(*) FROM comparisons").fetchone()
         assert rows[0] == 9
+
+
+def test_resume_missing_fasta_errors(runner, viral_example_mod, tmp_path) -> None:
+    """Resume re-validates that every input FASTA still exists
+    (reference public_cli.py:791-807)."""
+    import shutil
+
+    indir = tmp_path / "genomes"
+    indir.mkdir()
+    for p in sorted(viral_example_mod.glob("*.f*")):
+        shutil.copy(p, indir / p.name)
+    db_path = tmp_path / "db.sqlite"
+    result = runner.invoke(
+        app,
+        ["sourmash", str(indir), "-d", str(db_path), "--create-db",
+         "--scaled", "300"],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    with Database(db_path) as db:
+        db.execute_with_retries("UPDATE runs SET status='Worker interrupted'")
+    victim = next(indir.glob("*.f*"))
+    victim.unlink()
+    result = runner.invoke(app, ["resume", "-d", str(db_path)])
+    assert result.exit_code != 0
+    assert "Missing" in str(result.output) + str(result.exception)
+
+
+def test_resume_version_mismatch_errors(runner, viral_example_mod, tmp_path) -> None:
+    """Resume refuses when the recorded program version differs
+    (reference public_cli.py:751-786 version equality check)."""
+    db_path = tmp_path / "db.sqlite"
+    result = runner.invoke(
+        app,
+        ["sourmash", str(viral_example_mod), "-d", str(db_path),
+         "--create-db", "--scaled", "300"],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    with Database(db_path) as db:
+        db.execute_with_retries("UPDATE runs SET status='Worker interrupted'")
+        db.execute_with_retries(
+            "UPDATE configurations SET version='0.0.0-ancient'"
+        )
+    result = runner.invoke(app, ["resume", "-d", str(db_path)])
+    assert result.exit_code != 0
+    assert "cannot" in (result.output or "").lower()
+
+
+def test_export_run_incomplete_errors(runner, viral_example_mod, tmp_path) -> None:
+    """export-run on a partial run must fail cleanly, not emit matrices
+    (reference load_run completeness check, db_orm.py:921-975)."""
+    db_path = tmp_path / "db.sqlite"
+    result = runner.invoke(
+        app,
+        ["sourmash", str(viral_example_mod), "-d", str(db_path),
+         "--create-db", "--scaled", "300"],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    with Database(db_path) as db:
+        db.execute_with_retries(
+            "DELETE FROM comparisons WHERE comparison_id IN"
+            " (SELECT comparison_id FROM comparisons LIMIT 2)"
+        )
+        db.execute_with_retries("UPDATE runs SET status='Running'")
+        # Drop the stale cached matrices so completeness is re-derived
+        db.execute_with_retries(
+            "UPDATE runs SET df_identity=NULL, df_cov_query=NULL,"
+            " df_aln_length=NULL, df_sim_errors=NULL, df_hadamard=NULL"
+        )
+    outdir = tmp_path / "out"
+    outdir.mkdir()
+    result = runner.invoke(
+        app, ["export-run", "-d", str(db_path), "-o", str(outdir)]
+    )
+    assert result.exit_code != 0
+    assert not list(outdir.glob("*_identity.tsv"))
+
+
+def test_list_runs_empty_db(runner, tmp_path) -> None:
+    """list-runs on a fresh database shows no runs and exits 0."""
+    db_path = tmp_path / "empty.sqlite"
+    with Database(db_path, create=True):
+        pass
+    result = runner.invoke(app, ["list-runs", "-d", str(db_path)])
+    assert result.exit_code == 0, result.output
+
+
+def test_export_run_selects_run_id(runner, viral_example_mod, tmp_path) -> None:
+    """--run-id exports the requested run, not the latest."""
+    db_path = tmp_path / "db.sqlite"
+    for scaled in ("300", "1000"):
+        result = runner.invoke(
+            app,
+            ["sourmash", str(viral_example_mod), "-d", str(db_path),
+             "--create-db", "--scaled", scaled],
+            catch_exceptions=False,
+        )
+        assert result.exit_code == 0, result.output
+    texts = {}
+    for run_id in ("1", "2"):
+        outdir = tmp_path / f"out{run_id}"
+        outdir.mkdir()
+        result = runner.invoke(
+            app,
+            ["export-run", "-d", str(db_path), "-o", str(outdir),
+             "--run-id", run_id],
+            catch_exceptions=False,
+        )
+        assert result.exit_code == 0, result.output
+        texts[run_id] = (outdir / f"sourmash_run_{run_id}.tsv").read_text()
+    # scaled=300 vs scaled=1000 runs produce different containment values
+    assert texts["1"] != texts["2"]
