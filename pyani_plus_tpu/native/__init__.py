@@ -622,6 +622,22 @@ def _load_mm2():
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.mm2_chain_rmq2.restype = None
+        lib.mm2_chain_rmq2.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_float,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         lib.mm2_chain_dp.restype = None
         lib.mm2_chain_dp.argtypes = [
             ctypes.POINTER(ctypes.c_int64),
@@ -735,6 +751,45 @@ def mm2_chain_rmq_native(  # noqa: PLR0913
         max_iter,
         chn_pen_gap,
         chn_pen_skip,
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return f, p
+
+
+def mm2_chain_rmq2_native(  # noqa: PLR0913
+    ax: np.ndarray,
+    ay: np.ndarray,
+    q_span: int,
+    max_dist: int,
+    max_dist_inner: int,
+    bw: int,
+    chn_pen_gap: float,
+    max_skip: int = 25,
+    cap_rmq_size: int = 100000,
+    pri_mode: int = 0,
+):
+    """mg_chain_rmq heuristic chain scores -> (f, p), or None."""
+    lib = _load_mm2()
+    if lib is None:
+        return None
+    ax = np.ascontiguousarray(ax, dtype=np.int64)
+    ay = np.ascontiguousarray(ay, dtype=np.int32)
+    n = ax.size
+    f = np.zeros(n, dtype=np.int32)
+    p = np.full(n, -1, dtype=np.int64)
+    lib.mm2_chain_rmq2(
+        ax.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ay.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n,
+        q_span,
+        max_dist,
+        max_dist_inner,
+        bw,
+        max_skip,
+        cap_rmq_size,
+        chn_pen_gap,
+        pri_mode,
         f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         p.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )

@@ -22,6 +22,9 @@
 
 #include <cstdint>
 #include <cstring>
+#include <algorithm>
+#include <set>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -240,6 +243,210 @@ void mm2_chain_rmq(const int64_t *ax, const int32_t *ay, int64_t n,
         if (++n_skip > max_skip) break;
       }
       if (p[j] >= 0) t[p[j]] = i;
+    }
+    f[i] = max_f;
+    p[i] = max_j;
+  }
+}
+
+// mg_chain_rmq (lchain.c, minimap2 >= 2.24): the heuristic RMQ chain
+// fill used by the asm presets. Differences from an exhaustive DP:
+//  - candidate predecessors are (a) the single anchor maximising a
+//    decomposable surrogate priority over the y-window
+//    [y_i - max_dist, y_i] among anchors with x_j < x_i and
+//    x_i - x_j <= max_dist (range-max query), plus (b) an "inner"
+//    serial scan over recent anchors (x_i - x_j <= max_dist_inner)
+//    iterated by descending y with the DP's skip-marking heuristic,
+//    run only when the RMQ candidate is not an exact extension
+//    (dd == 0 && dg <= span);
+//  - the true score (comput_sc_simple: min(dq,dr,span) -
+//    (int)(chn_pen_gap*dd + .5*mg_log2(dd+1))) gates on width
+//    (dd <= bw);
+//  - the active set is capped at cap_rmq_size by evicting smallest-x.
+// pri_mode selects the surrogate: 0 -> f[j] + .5*c*(x_j+y_j),
+// 1 -> f[j] + c*y_j, 2 -> f[j].
+void mm2_chain_rmq2(const int64_t *ax, const int32_t *ay, int64_t n,
+                    int32_t q_span, int32_t max_dist, int32_t max_dist_inner,
+                    int32_t bw, int32_t max_skip, int32_t cap_rmq_size,
+                    float chn_pen_gap, int32_t pri_mode, int32_t *f,
+                    int64_t *p) {
+  if (n == 0) return;
+  // --- coordinate-compress y for the outer segment tree
+  std::vector<int32_t> ys(ay, ay + n);
+  std::sort(ys.begin(), ys.end());
+  ys.erase(std::unique(ys.begin(), ys.end()), ys.end());
+  const int32_t m = (int32_t)ys.size();
+  int32_t size = 1;
+  while (size < m) size <<= 1;
+  const double NEG = -1e300;
+  std::vector<double> seg(2 * size, NEG);
+  std::vector<int64_t> seg_arg(2 * size, -1);
+  auto seg_set = [&](int32_t leaf, double val, int64_t arg) {
+    int32_t node = leaf + size;
+    seg[node] = val;
+    seg_arg[node] = arg;
+    for (node >>= 1; node >= 1; node >>= 1) {
+      const int32_t l = node << 1, r = l + 1;
+      if (seg[l] >= seg[r]) {
+        seg[node] = seg[l];
+        seg_arg[node] = seg_arg[l];
+      } else {
+        seg[node] = seg[r];
+        seg_arg[node] = seg_arg[r];
+      }
+    }
+  };
+  // range-max over compressed-y leaves [lo, hi] inclusive
+  auto seg_query = [&](int32_t lo, int32_t hi) -> int64_t {
+    double best = NEG;
+    int64_t arg = -1;
+    int32_t l = lo + size, r = hi + size + 1;
+    while (l < r) {
+      if (l & 1) {
+        if (seg[l] > best) { best = seg[l]; arg = seg_arg[l]; }
+        l++;
+      }
+      if (r & 1) {
+        r--;
+        if (seg[r] > best) { best = seg[r]; arg = seg_arg[r]; }
+      }
+      l >>= 1;
+      r >>= 1;
+    }
+    return best <= NEG ? -1 : arg;
+  };
+  auto yleaf = [&](int32_t y) {  // index of y in ys (exact)
+    return (int32_t)(std::lower_bound(ys.begin(), ys.end(), y) - ys.begin());
+  };
+  auto ylower = [&](int32_t y) {  // first leaf with ys[leaf] >= y
+    return (int32_t)(std::lower_bound(ys.begin(), ys.end(), y) - ys.begin());
+  };
+  auto yupper = [&](int32_t y) {  // last leaf with ys[leaf] <= y
+    return (int32_t)(std::upper_bound(ys.begin(), ys.end(), y) - ys.begin()) - 1;
+  };
+  // outer tree holds ONE element per distinct y (the max-pri anchor at
+  // that y, as a krmq keyed on y effectively exposes the best); keep a
+  // per-leaf bucket of active anchors to restore on deletion
+  std::vector<std::vector<int64_t>> bucket(m);
+  auto pri_of = [&](int64_t j) -> double {
+    const double c = chn_pen_gap;
+    switch (pri_mode) {
+      case 0: return (double)f[j] + 0.5 * c * ((double)ax[j] + (double)ay[j]);
+      case 1: return (double)f[j] + c * (double)ay[j];
+      default: return (double)f[j];
+    }
+  };
+  auto bucket_refresh = [&](int32_t leaf) {
+    double best = NEG;
+    int64_t arg = -1;
+    for (int64_t j : bucket[leaf]) {
+      const double pr = pri_of(j);
+      if (pr > best) { best = pr; arg = j; }
+    }
+    seg_set(leaf, best, arg);
+  };
+  auto tree_insert = [&](int64_t j) {
+    const int32_t leaf = yleaf(ay[j]);
+    bucket[leaf].push_back(j);
+    const double pr = pri_of(j);
+    if (pr > seg[leaf + size]) seg_set(leaf, pr, j);
+  };
+  auto tree_delete = [&](int64_t j) {
+    const int32_t leaf = yleaf(ay[j]);
+    auto &b = bucket[leaf];
+    for (size_t z = 0; z < b.size(); z++)
+      if (b[z] == j) { b[z] = b.back(); b.pop_back(); break; }
+    bucket_refresh(leaf);
+  };
+  // inner active set ordered by (y, idx) for descending-y iteration
+  std::set<std::pair<int32_t, int64_t>> inner;
+  std::vector<int64_t> t(n, -1);
+
+  auto comput_sc = [&](int64_t i, int64_t j, int32_t *exact,
+                       int32_t *width) -> int32_t {
+    const int32_t dq = ay[i] - ay[j];
+    const int64_t dr64 = ax[i] - ax[j];
+    const int32_t dr = (int32_t)dr64;
+    const int32_t dd = dr > dq ? dr - dq : dq - dr;
+    const int32_t dg = dr < dq ? dr : dq;
+    *width = dd;
+    int32_t sc = q_span < dg ? q_span : dg;
+    if (exact) *exact = (dd == 0 && dg <= q_span);
+    if (dd || dg > q_span) {
+      const float lin_pen = chn_pen_gap * (float)dd;
+      const float log_pen = dd >= 1 ? mg_log2((float)dd + 1.0f) : 0.0f;
+      sc -= (int32_t)(lin_pen + 0.5f * log_pen);
+    }
+    return sc;
+  };
+
+  int64_t i0 = 0, st = 0, st_inner = 0;
+  int64_t tree_n = 0;
+  for (int64_t i = 0; i < n; i++) {
+    int64_t max_j = -1;
+    int32_t max_f = q_span;
+    // add anchors with x_j < x_i
+    while (i0 < i && ax[i0] < ax[i]) {
+      tree_insert(i0);
+      inner.insert({ay[i0], i0});
+      i0++;
+      tree_n++;
+    }
+    // evict: x-window and size cap
+    while (st < i0 && ax[i] - ax[st] > max_dist) {
+      tree_delete(st);
+      st++;
+      tree_n--;
+    }
+    while (tree_n > cap_rmq_size) {
+      tree_delete(st);
+      st++;
+      tree_n--;
+    }
+    while (st_inner < i0 && ax[i] - ax[st_inner] > max_dist_inner) {
+      inner.erase({ay[st_inner], st_inner});
+      st_inner++;
+    }
+    // outer: single RMQ candidate in y-window [y_i - max_dist, y_i]
+    int32_t exact = 0;
+    {
+      const int32_t lo = ylower(ay[i] - max_dist), hi = yupper(ay[i]);
+      if (lo <= hi) {
+        const int64_t j = seg_query(lo, hi);
+        if (j >= 0) {
+          int32_t width;
+          const int32_t sc = f[j] + comput_sc(i, j, &exact, &width);
+          if (width <= bw && sc > max_f) {
+            max_f = sc;
+            max_j = j;
+          } else {
+            exact = 0;
+          }
+        }
+      }
+    }
+    // inner: serial scan by descending y with the DP skip heuristic
+    if (max_dist_inner > 0 && (max_j < 0 || !exact)) {
+      int32_t n_skip = 0;
+      auto it = inner.upper_bound({ay[i], i});
+      while (it != inner.begin()) {
+        --it;
+        const int32_t yj = it->first;
+        if (yj < ay[i] - max_dist) break;
+        const int64_t j = it->second;
+        int32_t width;
+        const int32_t sc = f[j] + comput_sc(i, j, nullptr, &width);
+        if (width <= bw) {
+          if (sc > max_f) {
+            max_f = sc;
+            max_j = j;
+            if (n_skip > 0) n_skip--;
+          } else if (t[j] == i) {
+            if (++n_skip > max_skip) break;
+          }
+          if (p[j] >= 0) t[p[j]] = i;
+        }
+      }
     }
     f[i] = max_f;
     p[i] = max_j;

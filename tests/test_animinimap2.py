@@ -4,11 +4,13 @@ Oracle: the fixture .minimap2 PAF files (reference invocation
 private_cli.py:1499-1549, run WITHOUT -c) and the ANIminimap2 fixture
 matrices. All nine viral pair PAFs are bit-identical on every field the
 reference parser reads (coordinates, strand, nmatch, block length, and
-the mapq zero/nonzero gate), so the viral matrices are exact. The
-bacterial set (divergent ~82-86%% ANI pairs) tracks but is not exact:
-modern minimap2 asm presets use RMQ chaining and mapq gating details
-that differ on sparse divergent chains (self pairs: aln_lengths exact,
-identity within 1e-3).
+the mapq zero/nonzero gate), so the viral matrices are exact. On the
+bacterial set the two-pass mg_chain_rmq reconstruction (seed rescue +
+min_mid_occ 50, bw then bw_long long-join rescue, max-drop backtrack)
+is bit-exact on all four self pairs AND both 96.6%-ANI cross pairs
+(identity to 1 ulp, aln_lengths integer-exact); only the ~11-15%
+"identity" junk pairs (no real homology, chain-heuristic noise) retain
+a small residue (identity within 7e-4, aligned length within 0.8%).
 """
 
 from pathlib import Path
@@ -75,15 +77,17 @@ def test_viral_matrices_exact(viral_genomes) -> None:
 
 
 def test_bacterial_divergent_all_pairs_tolerance() -> None:
-    """All 12 divergent bacterial pairs: identity within 0.011, aligned
-    length within 4.5%, coverage within 0.034 of the fixture matrices.
+    """All 16 bacterial pairs against the fixture matrices.
 
-    Gates pin the measured state of the RMQ-era chain cost (two-regime
-    joins: spans <= max_gap with free diagonal drift, or near-diagonal
-    spans up to bw_long; float chn_pen_gap*dd + 0.5*mg_log2 cost) so a
-    regression on ANY pair fails, not just the single pair the old test
-    sampled. The residue vs the binary is its primary/mapq selection on
-    split chains, which the matrix-only oracle cannot pin down.
+    The two near-identical cross pairs (NC_002696 / NC_011916, 99.66%)
+    and every self pair must match to 1 ulp / integer-exact aln -- they
+    pin the full pipeline including the bw_long long-join that fuses
+    flanks across a 26 kb strain-specific insertion. The remaining
+    divergent pairs (~11-15% reported "identity": no real homology,
+    pure chain-heuristic output) get identity within 7e-4 and aligned
+    length within 0.9% -- the residue is mg_chain_rmq's exact surrogate
+    priority / eviction schedule on junk anchors, which the matrix-only
+    oracle cannot pin further.
     """
     d = Path("/root/reference/tests/fixtures/bacterial_example")
     if not d.is_dir():
@@ -94,25 +98,33 @@ def test_bacterial_divergent_all_pairs_tolerance() -> None:
     exp_i = pd.read_csv(d / "matrices/ANIminimap2_identity.tsv", sep="\t", index_col=0)
     exp_a = pd.read_csv(d / "matrices/ANIminimap2_aln_lengths.tsv", sep="\t", index_col=0)
     exp_c = pd.read_csv(d / "matrices/ANIminimap2_coverage.tsv", sep="\t", index_col=0)
+    exact = {("NC_002696", "NC_011916"), ("NC_011916", "NC_002696")}
     for qs, q in genomes.items():
         for ts, s in genomes.items():
             if qs == ts:
                 continue
             res = compute_pair(q, s, "asm20")
             want_a = exp_a.loc[qs, ts]
-            assert abs(res["identity"] - exp_i.loc[qs, ts]) < 0.011, (qs, ts)
-            assert abs(res["aln_length"] - want_a) / want_a < 0.045, (qs, ts)
-            assert abs(res["cov_query"] - exp_c.loc[qs, ts]) < 0.034, (qs, ts)
+            if (qs, ts) in exact:
+                assert abs(res["identity"] - exp_i.loc[qs, ts]) < 1e-14, (qs, ts)
+                assert res["aln_length"] == want_a, (qs, ts)
+                assert abs(res["cov_query"] - exp_c.loc[qs, ts]) < 1e-14, (qs, ts)
+            else:
+                assert abs(res["identity"] - exp_i.loc[qs, ts]) < 7e-4, (qs, ts)
+                assert abs(res["aln_length"] - want_a) / want_a < 0.009, (qs, ts)
+                assert abs(res["cov_query"] - exp_c.loc[qs, ts]) < 0.009, (qs, ts)
 
 
-def test_bacterial_self_pair_tolerance() -> None:
-    """Bacterial self pair: aln_length exact, identity within 1e-3."""
+def test_bacterial_self_pairs_exact() -> None:
+    """All four bacterial self pairs: identity to 1 ulp, aln exact."""
     d = Path("/root/reference/tests/fixtures/bacterial_example")
     if not d.is_dir():
         pytest.skip("reference fixtures not available")
-    g = load_genome(d / "NC_002696.fasta.gz")
     exp_i = pd.read_csv(d / "matrices/ANIminimap2_identity.tsv", sep="\t", index_col=0)
     exp_a = pd.read_csv(d / "matrices/ANIminimap2_aln_lengths.tsv", sep="\t", index_col=0)
-    res = compute_pair(g, g, "asm20")
-    assert res["aln_length"] == exp_a.loc["NC_002696", "NC_002696"]
-    assert abs(res["identity"] - exp_i.loc["NC_002696", "NC_002696"]) < 1e-3
+    for p in sorted(d.glob("*.gz")):
+        stem = filename_stem(p.name)
+        g = load_genome(p)
+        res = compute_pair(g, g, "asm20")
+        assert res["aln_length"] == exp_a.loc[stem, stem], stem
+        assert abs(res["identity"] - exp_i.loc[stem, stem]) < 1e-14, stem
