@@ -638,6 +638,18 @@ def _load_mm2():
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.mm2_backtrack.restype = ctypes.c_int64
+        lib.mm2_backtrack.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         lib.mm2_chain_dp.restype = None
         lib.mm2_chain_dp.argtypes = [
             ctypes.POINTER(ctypes.c_int64),
@@ -794,6 +806,40 @@ def mm2_chain_rmq2_native(  # noqa: PLR0913
         p.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return f, p
+
+
+def mm2_backtrack_native(
+    f: np.ndarray,
+    p: np.ndarray,
+    max_drop: int,
+    min_sc: int,
+    min_cnt: int,
+):
+    """mg_chain_backtrack -> [(score, anchor_idx_ascending)], or None."""
+    lib = _load_mm2()
+    if lib is None:
+        return None
+    f = np.ascontiguousarray(f, dtype=np.int32)
+    p = np.ascontiguousarray(p, dtype=np.int64)
+    n = f.size
+    v = np.empty(n, dtype=np.int64)
+    off = np.empty(n + 1, dtype=np.int64)
+    sc = np.empty(max(n, 1), dtype=np.int32)
+    n_chains = lib.mm2_backtrack(
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n,
+        max_drop,
+        min_sc,
+        min_cnt,
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        sc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return [
+        (int(sc[c]), v[off[c] : off[c + 1]].copy())
+        for c in range(n_chains)
+    ]
 
 
 _FASTANI_SO = _DIR / "libfastani.so"

@@ -453,4 +453,66 @@ void mm2_chain_rmq2(const int64_t *ax, const int32_t *ay, int64_t n,
   }
 }
 
+// mg_chain_backtrack (lchain.c): peaks by descending (f, index); each
+// walk truncated where the cumulative score falls more than max_drop
+// below its running maximum (mg_chain_bk_end); anchors visited beyond
+// the cut are burned (t=2) and join no chain. Emits chains in peak
+// order: v = concatenated anchor indices (ascending within a chain),
+// chain_off = n_chains+1 offsets into v, chain_sc = scores. Returns
+// n_chains.
+int64_t mm2_backtrack(const int32_t *f, const int64_t *p, int64_t n,
+                      int32_t max_drop, int32_t min_sc, int32_t min_cnt,
+                      int64_t *v, int64_t *chain_off, int32_t *chain_sc) {
+  std::vector<int64_t> order(n);
+  for (int64_t i = 0; i < n; i++) order[i] = i;
+  std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+    if (f[a] != f[b]) return f[a] > f[b];
+    return a > b;
+  });
+  std::vector<int8_t> t(n, 0);
+  int64_t n_chains = 0, n_v = 0;
+  chain_off[0] = 0;
+  for (int64_t oi = 0; oi < n; oi++) {
+    const int64_t peak = order[oi];
+    const int32_t fpeak = f[peak];
+    if (fpeak < min_sc) break;
+    if (t[peak]) continue;
+    // mg_chain_bk_end
+    int64_t i = peak, max_i = peak;
+    int32_t max_s = 0;
+    while (true) {
+      t[i] = 2;
+      i = p[i];
+      const int32_t s = i < 0 ? fpeak : fpeak - f[i];
+      if (s > max_s) {
+        max_s = s;
+        max_i = i;
+      } else if (max_s - s > max_drop) {
+        break;
+      }
+      if (i < 0 || t[i] != 0) break;
+    }
+    const int64_t end_i = max_i;
+    const int64_t v0 = n_v;
+    for (i = peak; i != end_i; i = p[i]) {
+      v[n_v++] = i;
+      t[i] = 1;
+    }
+    const int32_t sc = end_i < 0 ? fpeak : fpeak - f[end_i];
+    if (n_v > v0 && sc >= min_sc && n_v - v0 >= min_cnt) {
+      // reverse to ascending anchor order
+      for (int64_t a = v0, b = n_v - 1; a < b; a++, b--) {
+        const int64_t tmp = v[a];
+        v[a] = v[b];
+        v[b] = tmp;
+      }
+      chain_sc[n_chains] = sc;
+      chain_off[++n_chains] = n_v;
+    } else {
+      n_v = v0;
+    }
+  }
+  return n_chains;
+}
+
 }  // extern "C"

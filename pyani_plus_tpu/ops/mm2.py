@@ -81,7 +81,11 @@ MIN_CHAIN_SCORE = 40  # -m
 MIN_CNT = 3  # -n
 MASK_LEVEL = 0.5
 MID_OCC_FRAC = 2e-4
-MIN_MID_OCC = 50  # asm presets (options.c >= 2.24): o->min_mid_occ = 50
+# asm presets pin -U50,500 (man page): mid_occ floored at 50 (repeat
+# seeds up to occurrence 50 always survive -- required for bacterial
+# self-pair exactness) and capped at 500
+MIN_MID_OCC = 50
+MAX_MID_OCC = 500
 # seed rescue (mm_seed_select, seed.c): in query gaps left by the
 # occurrence filter, re-admit the least-occurring high-occurrence seeds
 # -- quota int(gap/OCC_DIST + .499) per gap, occurrence <= MAX_MAX_OCC,
@@ -139,7 +143,7 @@ def mid_occ_threshold(ref_hashes: np.ndarray) -> int:
     counts.sort()
     idx = int((1.0 - MID_OCC_FRAC) * counts.size)
     idx = min(idx, counts.size - 1)
-    return max(MIN_MID_OCC, int(counts[idx]) + 1)
+    return min(MAX_MID_OCC, max(MIN_MID_OCC, int(counts[idx]) + 1))
 
 
 def select_seeds(
@@ -246,7 +250,23 @@ def build_index(
     return all_h[order], all_p[order], all_s[order], all_t[order]
 
 
-def _backtrack(  # noqa: PLR0913
+def _backtrack(
+    f: np.ndarray,
+    p: np.ndarray,
+    max_drop: int,
+    min_sc: int,
+    min_cnt: int,
+):
+    """mg_chain_backtrack; native kernel with the Python oracle below."""
+    from pyani_plus_tpu.native import mm2_backtrack_native
+
+    result = mm2_backtrack_native(f, p, max_drop, min_sc, min_cnt)
+    if result is None:  # pragma: no cover - no compiler
+        result = _backtrack_py(f, p, max_drop, min_sc, min_cnt)
+    return result
+
+
+def _backtrack_py(  # noqa: PLR0913
     f: np.ndarray,
     p: np.ndarray,
     max_drop: int,

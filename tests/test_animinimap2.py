@@ -128,3 +128,26 @@ def test_bacterial_self_pairs_exact() -> None:
         res = compute_pair(g, g, "asm20")
         assert res["aln_length"] == exp_a.loc[stem, stem], stem
         assert abs(res["identity"] - exp_i.loc[stem, stem]) < 1e-14, stem
+
+
+def test_backtrack_native_matches_python_oracle() -> None:
+    """Fuzz: native mg_chain_backtrack == the Python oracle."""
+    import numpy as np
+
+    from pyani_plus_tpu.ops.mm2 import _backtrack_py, _chain_fill
+    from pyani_plus_tpu.native import mm2_backtrack_native
+
+    rng = np.random.default_rng(7)
+    for _ in range(25):
+        n = int(rng.integers(1, 400))
+        x = np.sort(rng.integers(0, 20000, n)).astype(np.int64)
+        y = (x + rng.integers(-800, 800, n)).clip(0).astype(np.int32)
+        f, p = _chain_fill(x, y, 19, 10000, 1000)
+        for max_drop, min_sc, min_cnt in ((1000, 40, 3), (100000, 0, 1)):
+            want = _backtrack_py(f, p, max_drop, min_sc, min_cnt)
+            got = mm2_backtrack_native(f, p, max_drop, min_sc, min_cnt)
+            assert got is not None
+            assert len(got) == len(want)
+            for (sa, ia), (sb, ib) in zip(got, want):
+                assert sa == sb
+                assert np.array_equal(ia, ib)
