@@ -578,6 +578,8 @@ class Database:
         self, configuration_id: int, hashes: list[str]
     ) -> set[tuple[str, str]]:
         """Which (query, subject) pairs over ``hashes`` are already done."""
+        if not hashes:
+            return set()  # "IN ()" is a SQLite syntax error
         placeholders = ",".join("?" * len(hashes))
         cur = self.conn.execute(
             f"SELECT query_hash, subject_hash FROM comparisons"  # noqa: S608

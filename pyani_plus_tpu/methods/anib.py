@@ -46,15 +46,15 @@ KA_K = 0.41
 
 WINDOW_MARGIN = 150  # subject window slack around the seed band
 
-# blastn's gapped X-drop (xdrop_gap 30 bits ~ 33 raw at lambda 0.625)
-# abandons an extension crossing a run of Ns once the dip exceeds it:
-# L consecutive ambiguous columns cost 3L raw, so runs of >= 12 can
-# never be crossed and the HSP splits there. The reference's 28-N
-# self-pair test depends on this: the N fragment's best HSP covers only
-# 549/1020 < 0.7 and is dropped, leaving ANIb self-identity exactly 1.0
-# (ref tests/test_self_vs_self.py:89). Shorter runs stay in-window and
-# are crossed as mismatches, exactly like blastn.
-N_BREAK_RUN = 12
+# The reference runs blastn with -xdrop_gap_final 150 (bits;
+# private_cli.py:1393-1394), i.e. the REPORTED alignment comes from the
+# final-pass extension with raw X-drop 150*ln2/lambda ~ 166 at lambda
+# 0.625. A run of L Ns dips 3L raw, so runs up to 55 Ns are crossed in
+# the final alignment (and count as IDENTITIES: blastn counts letter
+# equality, so pident stays 100.000 across them -- the reference's
+# test_coverage.py pins a 28-N fragment at full coverage AND pident
+# 100); runs of >= 56 exceed the final X-drop and split the HSP.
+N_BREAK_RUN = 56
 
 
 def split_at_n_runs(

@@ -90,7 +90,10 @@ int local_align_stats(const uint8_t *q, int64_t m, const uint8_t *s,
     const int32_t h = H[i * stride + j];
     if (h == H[(i - 1) * stride + (j - 1)] + sub) {
       length++;
-      if (match)
+      // blastn counts IDENTITIES by letter equality, so N aligned to N
+      // is an identity (pident 100.000 across an N run) even though it
+      // SCORES as a penalty; mismatch = non-identical columns only.
+      if (qc == sc)
         matches++;
       else
         mismatches++;

@@ -124,7 +124,10 @@ def local_align_stats(  # noqa: C901, PLR0912
         sub = reward if is_match else penalty
         if H[i, j] == H[i - 1, j - 1] + sub:
             length += 1
-            if is_match:
+            # blastn counts IDENTITIES by letter equality: N aligned to
+            # N is an identity (pident 100.000 across an N run) even
+            # though it SCORES as a penalty column.
+            if q[i - 1] == s[j - 1]:
                 matches += 1
             else:
                 mismatches += 1
