@@ -880,37 +880,73 @@ def import_comparisons_cmd(
     logger = _logger(log, debug=debug)
     total = 0
     with Database(database, logger=logger) as db:
+        # Import is a merge into an EXISTING analysis: the reference
+        # refuses databases with no configurations/genomes and JSON
+        # whose configuration the database has never seen
+        # (private_cli.py import_comparisons error contract).
+        if not db.conn.execute("SELECT COUNT(*) FROM configurations").fetchone()[0]:
+            log_sys_exit(
+                logger, f"Database '{database}' does not contain any configurations"
+            )
+        if not db.conn.execute("SELECT COUNT(*) FROM genomes").fetchone()[0]:
+            log_sys_exit(
+                logger, f"Database '{database}' does not contain any genomes"
+            )
         for json_file in json_files:
             raw = json_file.read_bytes()
             if not raw:
-                log_sys_exit(logger, f"JSON file '{json_file}' is empty")
+                logger.warning("JSON file '%s' is empty", json_file)
+                logger.info("Imported 0 from '%s'", json_file)
+                continue
             try:
                 payload = json.loads(raw)
-            except json.JSONDecodeError as err:
-                log_sys_exit(logger, f"Invalid JSON in '{json_file}': {err}")
-            for key in ("configuration", "uname", "comparisons"):
-                if key not in payload:
-                    log_sys_exit(
-                        logger, f"JSON file '{json_file}' lacks '{key}' entry"
-                    )
+            except json.JSONDecodeError:
+                log_sys_exit(logger, f"JSON file '{json_file}' invalid")
+            if not isinstance(payload, dict) or any(
+                key not in payload
+                for key in ("configuration", "uname", "comparisons")
+            ):
+                log_sys_exit(
+                    logger,
+                    f"JSON file '{json_file}' does not use the expected structure",
+                )
             config = payload["configuration"]
             uname = payload["uname"]
-            config_id = db.get_or_create_configuration(
-                method=config["method"],
-                program=config["program"],
-                version=config["version"],
-                fragsize=config.get("fragsize"),
-                mode=config.get("mode"),
-                kmersize=config.get("kmersize"),
-                minmatch=config.get("minmatch"),
-                extra=config.get("extra"),
-            ).configuration_id
+            if any(key not in config for key in ("method", "program", "version")):
+                log_sys_exit(
+                    logger, f"JSON file '{json_file}' configuration incomplete"
+                )
+            if any(key not in uname for key in ("system", "release", "machine")):
+                log_sys_exit(logger, f"JSON file '{json_file}' uname incomplete")
+            try:
+                config_id = db.get_or_create_configuration(
+                    method=config["method"],
+                    program=config["program"],
+                    version=config["version"],
+                    fragsize=config.get("fragsize"),
+                    mode=config.get("mode"),
+                    kmersize=config.get("kmersize"),
+                    minmatch=config.get("minmatch"),
+                    extra=config.get("extra"),
+                    create=False,
+                ).configuration_id
+            except ValueError:
+                log_sys_exit(
+                    logger,
+                    f"JSON file '{json_file}' configuration not in database",
+                )
+            if not payload["comparisons"]:
+                logger.warning("JSON file '%s' has no comparisons", json_file)
+                continue
             rows = []
             for entry in payload["comparisons"]:
-                if "query_hash" not in entry or "subject_hash" not in entry:
+                if any(
+                    key not in entry
+                    for key in ("query_hash", "subject_hash", "identity")
+                ):
                     log_sys_exit(
                         logger,
-                        f"Comparison in '{json_file}' lacks query/subject hash",
+                        f"JSON file '{json_file}' comparison(s) incomplete",
                     )
                 rows.append(
                     {

@@ -328,9 +328,24 @@ def test_export_import_comparisons_roundtrip(runner, sourmash_run, tmp_path) -> 
 
     from pyani_plus_tpu.db import Database
 
+    # Import merges into an existing analysis: the target database must
+    # already hold the configuration and genomes (reference contract),
+    # as a real worker's would after log-configuration/log-genome.
     new_db = tmp_path / "fresh.sqlite"
-    with Database(new_db, create=True):
-        pass
+    with Database(new_db, create=True) as db:
+        config = payload["configuration"]
+        db.get_or_create_configuration(
+            method=config["method"],
+            program=config["program"],
+            version=config["version"],
+            fragsize=config.get("fragsize"),
+            mode=config.get("mode"),
+            kmersize=config.get("kmersize"),
+            minmatch=config.get("minmatch"),
+            extra=config.get("extra"),
+        )
+        for comp in payload["comparisons"]:
+            db.add_genome(comp["query_hash"], "x.fasta", 1, "seeded")
     for _ in range(2):  # second import is a no-op (INSERT OR IGNORE)
         result = runner.invoke(
             app,
