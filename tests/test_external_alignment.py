@@ -115,3 +115,120 @@ def test_unmappable_name_errors(viral_dir, tmp_path) -> None:
         ],
     )
     assert result.exit_code != 0
+
+
+MD5S = {
+    "OP073605": "5584c7029328dc48d33f95f0a78f7e57",
+    "MGV-GENOME-0264574": "689d3fd6881db36b5e08329cf23cecdd",
+    "MGV-GENOME-0266457": "78975d5144a1cd12e98898d573cf6536",
+}
+FILENAMES = {
+    "OP073605": "OP073605.fasta",
+    "MGV-GENOME-0264574": "MGV-GENOME-0264574.fas",
+    "MGV-GENOME-0266457": "MGV-GENOME-0266457.fna",
+}
+
+
+def _relabel(mapping) -> str:
+    out = []
+    for line in MOCK_ALIGNMENT.splitlines():
+        if line.startswith(">"):
+            stem = line[1:].split(None, 1)[0]
+            out.append(f">{mapping[stem]}")
+        else:
+            out.append(line)
+    return "\n".join(out) + "\n"
+
+
+def _run_ext(tmp_path, viral_dir, alignment, *extra, db_name="db.sqlite"):
+    db_path = tmp_path / db_name
+    result = CliRunner().invoke(
+        app,
+        [
+            "external-alignment",
+            str(viral_dir),
+            "-d",
+            str(db_path),
+            "--create-db",
+            "--alignment",
+            str(alignment),
+            *extra,
+        ],
+    )
+    return result, db_path
+
+
+@pytest.mark.parametrize("label", ["md5", "filename"])
+def test_mock_alignment_other_label_modes(viral_dir, tmp_path, label) -> None:
+    """The md5 and filename labelling modes give the same matrices as
+    stems (reference test_external_alignment.py:152-238)."""
+    mapping = MD5S if label == "md5" else FILENAMES
+    alignment = tmp_path / f"{label}.fasta"
+    alignment.write_text(_relabel(mapping))
+    result, db_path = _run_ext(
+        tmp_path, viral_dir, alignment, "--label", label
+    )
+    assert result.exit_code == 0, result.output
+    with Database(db_path) as db:
+        run = db.load_run(check_complete=True)
+        assert np.allclose(run.identities.values, EXPECTED_IDENTITY)
+        assert np.allclose(run.cov_query.values, EXPECTED_COV_QUERY)
+
+
+def test_alignment_length_mismatch_errors(viral_dir, tmp_path) -> None:
+    """Rows of differing lengths are a hard error, naming both genomes."""
+    broken = MOCK_ALIGNMENT.replace("AACC-GGATTT", "AACC-GGATTTGG")
+    alignment = tmp_path / "broken.fasta"
+    alignment.write_text(broken)
+    result, _ = _run_ext(tmp_path, viral_dir, alignment)
+    assert result.exit_code != 0
+    assert "different lengths" in result.output
+
+
+def test_alignment_missing_genome_errors(viral_dir, tmp_path) -> None:
+    """An MSA lacking one of the FASTA genomes cannot be scored."""
+    partial = "\n".join(MOCK_ALIGNMENT.splitlines()[:4]) + "\n"  # drop last
+    alignment = tmp_path / "partial.fasta"
+    alignment.write_text(partial)
+    result, _ = _run_ext(tmp_path, viral_dir, alignment)
+    assert result.exit_code != 0
+    assert "Did not find" in result.output
+
+
+def test_resume_rejects_modified_alignment(viral_dir, tmp_path) -> None:
+    """resume must fail if the MSA content changed since the run was
+    logged (MD5 recorded in the configuration extra)."""
+    alignment = tmp_path / "stems.fasta"
+    alignment.write_text(MOCK_ALIGNMENT)
+    result, db_path = _run_ext(tmp_path, viral_dir, alignment)
+    assert result.exit_code == 0, result.output
+    # Delete one comparison so resume has pending work, then tamper.
+    with Database(db_path) as db:
+        db.execute_with_retries("DELETE FROM comparisons WHERE query_hash != subject_hash")
+    alignment.write_text(MOCK_ALIGNMENT.replace("GACC", "TACC"))
+    result = CliRunner().invoke(app, ["resume", "-d", str(db_path)])
+    assert result.exit_code != 0
+
+
+def test_resume_locates_moved_alignment_by_md5(viral_dir, tmp_path) -> None:
+    """A moved-but-identical MSA is found again via its recorded MD5."""
+    import shutil
+
+    alignment = tmp_path / "original" / "stems.fasta"
+    alignment.parent.mkdir()
+    alignment.write_text(MOCK_ALIGNMENT)
+    fasta_dir = tmp_path / "genomes"
+    fasta_dir.mkdir()
+    for name in FILENAMES.values():
+        shutil.copy(viral_dir / name, fasta_dir / name)
+    result, db_path = _run_ext(tmp_path, fasta_dir, alignment)
+    assert result.exit_code == 0, result.output
+    with Database(db_path) as db:
+        db.execute_with_retries("DELETE FROM comparisons WHERE query_hash != subject_hash")
+    # Move the MSA into the genome directory under a NEW name.
+    (tmp_path / "original" / "stems.fasta").rename(fasta_dir / "renamed.aln")
+    result = CliRunner().invoke(app, ["resume", "-d", str(db_path)])
+    assert result.exit_code == 0, result.output
+    with Database(db_path) as db:
+        run = db.load_run(check_complete=True)
+        assert np.allclose(run.identities.values, EXPECTED_IDENTITY)
