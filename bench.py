@@ -184,8 +184,14 @@ def bench_alignment_methods(rng) -> dict:
         ("ANIb", "anib_divergent_pair_seconds"),
         ("fastANI", "fastani_divergent_pair_seconds"),
         ("dnadiff", "dnadiff_divergent_pair_seconds"),
+        ("ANIminimap2", "animinimap2_divergent_pair_seconds"),
     ):
         out[key] = round(_time_method(method, genomes, pair), 2)
+    # N=1000 all-vs-all projection (10^6 pairs) for the slowest method:
+    # the honest wall-clock statement of BASELINE config 5 feasibility.
+    out["anib_projected_days_n1000"] = round(
+        out["anib_divergent_pair_seconds"] * 1e6 / 86400.0, 1
+    )
     # Warm-subject (column-amortised) cost: the cached subject suffix
     # automaton is reused, so this is the marginal per-pair cost of an
     # all-vs-all column (ops/suffix.SeedIndexCache).
@@ -298,6 +304,33 @@ def main() -> None:
         "classify_seconds": round(t_classify, 2),
         "classify_cliques": len(cliques),
     }
+    # Worst-case Mosaic compile exposure of the extension kernel: the
+    # shape ladder is closed (oversize tasks fall back to the host
+    # kernel), so a run can never see more than this many fresh shapes.
+    from pyani_plus_tpu.ops.extend_pallas import M_COLS_BUCKETS
+
+    result["extend_shape_buckets"] = len(M_COLS_BUCKETS)
+    # Bit-identical DEVICE sketching path, measured (not asserted) so the
+    # host-vs-device default is a number: subset of genomes, projected
+    # linearly to the full set (pooled chunks amortise dispatches).
+    if jax.default_backend() != "cpu" and os.environ.get("BENCH_DEV_SKETCH", "1") != "0":
+        from pyani_plus_tpu.ops.minhash import sketch_genomes_device
+
+        dev_n = min(n, int(os.environ.get("BENCH_DEV_SKETCH_N", "128")))
+        dev_genomes = [
+            _genome_from_codes(c, f"d{i}") for i, c in enumerate(genomes[:dev_n])
+        ]
+        sketch_genomes_device(dev_genomes, ksize, scaled)  # compile + warm
+        t0 = time.time()
+        dev_sketches = sketch_genomes_device(dev_genomes, ksize, scaled)
+        t_dev_sketch = time.time() - t0
+        assert all(
+            np.array_equal(np.asarray(ds.hashes), sketches[i])
+            for i, ds in enumerate(dev_sketches)
+        )
+        result["sketch_seconds_device_projected"] = round(
+            t_dev_sketch * (n / dev_n), 2
+        )
     if os.environ.get("BENCH_METHODS", "1") != "0":
         result.update(bench_alignment_methods(np.random.default_rng(9)))
     print(json.dumps(result))
