@@ -101,10 +101,41 @@ def batch_local_align_scores(
     gap_open: int = GAP_OPEN,
     gap_extend: int = GAP_EXTEND,
 ):
-    """Best local alignment score for each (query, subject) row pair."""
+    """Best local alignment score for each (query, subject) row pair.
+
+    On a multi-device host the batch axis shards over the production
+    pair mesh (parallel/tiles.default_pair_mesh): each device scores its
+    slice of the (fragment, window) tasks and XLA gathers the scores --
+    embarrassingly parallel, so K chips give ~K-fold ANIb throughput.
+    Single-device (and PYANI_TPU_MESH=0) keeps the plain path.
+    """
+    import jax
     import jax.numpy as jnp
+
+    fn = _get_kernel(reward, penalty, gap_open, gap_extend)
+
+    from pyani_plus_tpu.parallel.tiles import default_pair_mesh
+
+    mesh = default_pair_mesh()
+    if mesh is not None and mesh.devices.size > 1:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        ndev = int(mesh.devices.size)
+        b = queries.shape[0]
+        pad = (-b) % ndev
+        if pad:
+            queries = np.concatenate(
+                [queries, np.full((pad, queries.shape[1]), PAD_CODE, queries.dtype)]
+            )
+            subjects = np.concatenate(
+                [subjects, np.full((pad, subjects.shape[1]), PAD_CODE, subjects.dtype)]
+            )
+        sharding = NamedSharding(mesh, P(("q", "s")))
+        q_dev = jax.device_put(jnp.asarray(queries, dtype=jnp.int32), sharding)
+        s_dev = jax.device_put(jnp.asarray(subjects, dtype=jnp.int32), sharding)
+        return fn(q_dev, s_dev)[:b]
 
     queries = jnp.asarray(queries, dtype=jnp.int32)
     subjects = jnp.asarray(subjects, dtype=jnp.int32)
-    fn = _get_kernel(reward, penalty, gap_open, gap_extend)
     return fn(queries, subjects)

@@ -143,3 +143,33 @@ def test_pair_worker_pool_equals_sequential(monkeypatch, tmp_path) -> None:
     monkeypatch.setenv("PYANI_TPU_PAIR_WORKERS", "2")
     pooled = run()
     assert pooled == sequential
+
+
+def test_batched_dp_shards_over_mesh(mesh) -> None:
+    """The ANIb batch scorer shards its batch axis over the production
+    mesh and returns the same scores as the single-device path (batch
+    size deliberately NOT divisible by the device count)."""
+    import numpy as np
+
+    from pyani_plus_tpu.ops import dp
+    from pyani_plus_tpu.ops.dp_jax import PAD_CODE, batch_local_align_scores
+
+    rng = np.random.default_rng(3)
+    b, m, n = 13, 96, 160
+    queries = np.full((b, m), PAD_CODE, np.uint8)
+    subjects = np.full((b, n), PAD_CODE, np.uint8)
+    for i in range(b):
+        qlen = int(rng.integers(40, m))
+        q = rng.integers(0, 4, qlen, dtype=np.uint8)
+        s = np.concatenate([q, rng.integers(0, 4, n - qlen, dtype=np.uint8)])
+        idx = rng.integers(0, qlen, max(1, qlen // 10))
+        s[idx] = (s[idx] + 1) % 4
+        queries[i, :qlen] = q
+        subjects[i] = s[:n]
+    got = np.asarray(batch_local_align_scores(queries, subjects))
+    assert got.shape == (b,)
+    for i in range(b):
+        q = queries[i][queries[i] != PAD_CODE]
+        s = subjects[i][subjects[i] != PAD_CODE]
+        stats = dp.local_align_stats(q, s)
+        assert int(got[i]) == (stats.score if stats else 0), i
