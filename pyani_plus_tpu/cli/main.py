@@ -28,6 +28,16 @@ def _logger(log: Path | None, *, debug: bool) -> logging.Logger:
         terminal_level=logging.DEBUG if debug else logging.INFO,
     )
 
+def _load_run_checked(logger, db, run_id, **checks):
+    """load_run with user-facing error reporting (CRITICAL + exit), so an
+    unknown --run-id or incomplete run prints cleanly instead of a
+    traceback (reference public_cli error style)."""
+    try:
+        return db.load_run(run_id, **checks)
+    except ValueError as err:
+        log_sys_exit(logger, str(err))
+
+
 
 def _cmdline() -> str:
     return " ".join(sys.argv)
@@ -441,7 +451,7 @@ def resume_cmd(
 
     logger = _logger(log, debug=debug)
     with Database(database, logger=logger) as db:
-        run = db.load_run(run_id)
+        run = _load_run_checked(logger, db, run_id)
         logger.info(
             "Resuming run %d (%s, status %r)",
             run.run_id,
@@ -531,7 +541,7 @@ def delete_run(
     """Delete a run (the underlying comparisons are kept for reuse)."""
     logger = _logger(log, debug=debug)
     with Database(database, logger=logger) as db:
-        run = db.load_run(run_id)
+        run = _load_run_checked(logger, db, run_id)
         if not force:
             click.confirm(
                 f"Delete run {run.run_id} ({run.configuration.method},"
@@ -726,7 +736,7 @@ def plot_run_cmd(  # noqa: PLR0913
     if not outdir.is_dir():
         outdir.mkdir(parents=True)
     with Database(database, logger=logger) as db:
-        run = db.load_run(run_id, check_complete=True)
+        run = _load_run_checked(logger, db, run_id, check_complete=True)
         plot_single_run(
             logger, run, outdir, label=label, formats=tuple(formats.split(","))
         )
@@ -810,7 +820,7 @@ def export_comparisons_cmd(
 
     logger = _logger(log, debug=debug)
     with Database(database, logger=logger) as db:
-        run = db.load_run(run_id)
+        run = _load_run_checked(logger, db, run_id)
         config = run.configuration
         comparisons = [
             {

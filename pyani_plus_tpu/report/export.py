@@ -29,7 +29,12 @@ def export_run_tables(
     label: str = "stem",
 ) -> None:
     """Write the long-form TSV and all six matrices for a run."""
-    run = db.load_run(run_id, check_empty=True)
+    from pyani_plus_tpu import log_sys_exit
+
+    try:
+        run = db.load_run(run_id, check_empty=True)
+    except ValueError as err:
+        log_sys_exit(logger, str(err))
     if run_id is None:
         logger.info("Exporting run-id %d", run.run_id)
     method = run.configuration.method
