@@ -20,6 +20,7 @@ recovery contract as the reference workers (private_cli.py:816-823).
 
 from __future__ import annotations
 
+import contextlib
 import logging
 from pathlib import Path
 from typing import Any
@@ -117,6 +118,39 @@ def _setup_run(  # noqa: PLR0913
         name or f"{n} genomes using {method_name}",
         [(md5, filename.name) for md5, filename in hash_to_filename.items()],
     )
+
+
+@contextlib.contextmanager
+def _defer_interrupts(logger: logging.Logger):
+    """Queue SIGINT/SIGTERM for the duration of run finalisation.
+
+    Once the comparisons are computed, persisting them and caching the
+    matrices is strictly better than abandoning the run mid-commit: an
+    interrupt here would leave a fully-computed run stuck "Running"
+    (unresumable work lost to a race). Signals received while deferred
+    are logged after the store is consistent.
+    """
+    import signal
+
+    received: list[int] = []
+    saved = {}
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        try:
+            saved[sig] = signal.signal(
+                sig, lambda signum, _frame: received.append(signum)
+            )
+        except ValueError:  # pragma: no cover - non-main thread
+            pass
+    try:
+        yield
+    finally:
+        for sig, handler in saved.items():
+            signal.signal(sig, handler)
+        if received:  # pragma: no cover - timing dependent
+            logger.warning(
+                "Interrupt received during run finalisation; results were "
+                "already complete and have been persisted"
+            )
 
 
 def resume_run(  # noqa: PLR0913, C901
@@ -313,46 +347,47 @@ def resume_run(  # noqa: PLR0913, C901
             interrupted = True
         interrupted = interrupted or (ctx is not None and ctx.interrupted)
 
-    if collective:
-        # Collective result merge (ICI/DCN all-gather) replaces the
-        # reference's polled JSON import; every host receives the union
-        # so host 0's store ends complete even when workers used private
-        # databases. EVERY host joins, including those with no pending
-        # share (the gather is also the completion barrier).
-        gathered = distributed.allgather_comparisons(rows)
-        logger.info(
-            "Collective merge: %d local + %d remote comparisons",
-            len(rows),
-            len(gathered) - len(rows),
-        )
-        rows = gathered if dist_index == 0 else rows
-    if rows:
-        db.insert_comparisons(rows, configuration_id=run.configuration_id)
-    if interrupted:
-        # Partial results are saved; leave the run resumable
-        run.set_status("Worker interrupted")
-        logger.error("Run %d interrupted; partial results saved", run.run_id)
-        return run.run_id
-
-    final = run.comparisons_count()
-    if final != n * n:
-        if proc_count > 1:
-            # Another host still owns the missing pairs; whoever finishes
-            # last (or a `resume`) completes and caches the run.
+    with _defer_interrupts(logger):
+        if collective:
+            # Collective result merge (ICI/DCN all-gather) replaces the
+            # reference's polled JSON import; every host receives the union
+            # so host 0's store ends complete even when workers used private
+            # databases. EVERY host joins, including those with no pending
+            # share (the gather is also the completion barrier).
+            gathered = distributed.allgather_comparisons(rows)
             logger.info(
-                "Host %d/%d done with its share: %d of %d comparisons stored",
-                proc_index,
-                proc_count,
-                final,
-                n * n,
+                "Collective merge: %d local + %d remote comparisons",
+                len(rows),
+                len(gathered) - len(rows),
             )
+            rows = gathered if dist_index == 0 else rows
+        if rows:
+            db.insert_comparisons(rows, configuration_id=run.configuration_id)
+        if interrupted:
+            # Partial results are saved; leave the run resumable
+            run.set_status("Worker interrupted")
+            logger.error("Run %d interrupted; partial results saved", run.run_id)
             return run.run_id
-        msg = (
-            f"Run {run.run_id} has {final} of {n}²={n * n} comparisons"
-            " after compute -- method returned incomplete results"
-        )
-        log_sys_exit(logger, msg)
-    run.cache_comparisons()
-    run.set_status("Done")
-    logger.info("Run %d complete: %d comparisons", run.run_id, final)
-    return run.run_id
+
+        final = run.comparisons_count()
+        if final != n * n:
+            if proc_count > 1:
+                # Another host still owns the missing pairs; whoever finishes
+                # last (or a `resume`) completes and caches the run.
+                logger.info(
+                    "Host %d/%d done with its share: %d of %d comparisons stored",
+                    proc_index,
+                    proc_count,
+                    final,
+                    n * n,
+                )
+                return run.run_id
+            msg = (
+                f"Run {run.run_id} has {final} of {n}²={n * n} comparisons"
+                " after compute -- method returned incomplete results"
+            )
+            log_sys_exit(logger, msg)
+        run.cache_comparisons()
+        run.set_status("Done")
+        logger.info("Run %d complete: %d comparisons", run.run_id, final)
+        return run.run_id

@@ -1,0 +1,97 @@
+"""skani method unit pieces: debias map, sampling, interval union, modes."""
+
+import numpy as np
+import pytest
+
+from pyani_plus_tpu.methods import skani
+from pyani_plus_tpu.methods.skani import MODE_C, _debias, _sampled, _union
+
+
+def test_debias_monotone_and_bounded() -> None:
+    xs = np.linspace(0.80, 1.0, 201)
+    ys = [_debias(float(x)) for x in xs]
+    assert all(b >= a - 1e-12 for a, b in zip(ys, ys[1:]))
+    assert all(0.0 <= y <= 1.0 for y in ys)
+    assert _debias(1.0) == 1.0
+
+
+def test_debias_identity_regime_near_identity() -> None:
+    """Above ~0.999 raw, reported ANI saturates at 1.0; in the clean
+    high-identity band the map is close to the identity function."""
+    assert _debias(0.99954) == 1.0
+    assert abs(_debias(0.99) - 0.99) < 0.01
+
+
+def test_sampled_density_tracks_c() -> None:
+    """FracMinHash marker density ~ 1/c of valid k-mers for each mode."""
+    rng = np.random.default_rng(11)
+    codes = rng.integers(0, 4, 300_000, dtype=np.uint8)
+    n_kmers = codes.size - skani.KMER + 1
+    for mode, c in MODE_C.items():
+        hashes, pos, strand = _sampled(codes, c)
+        density = hashes.size / n_kmers
+        assert 0.5 / c < density < 2.0 / c, (mode, density)
+        assert np.all(np.diff(pos) > 0)  # positions ascending
+        assert set(np.unique(strand)).issubset({0, 1})
+
+
+def test_sampled_deterministic() -> None:
+    rng = np.random.default_rng(5)
+    codes = rng.integers(0, 4, 50_000, dtype=np.uint8)
+    a = _sampled(codes, 125)
+    b = _sampled(codes, 125)
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)
+
+
+def test_union_merges_overlaps() -> None:
+    assert _union([]) == 0
+    assert _union([(0, 10)]) == 10
+    assert _union([(0, 10), (5, 15)]) == 15
+    assert _union([(0, 10), (10, 20)]) == 20  # touching merges
+    assert _union([(0, 10), (20, 30)]) == 20
+    assert _union([(20, 30), (0, 10), (5, 12)]) == 22  # unsorted input
+
+
+def test_mode_marker_densities_match_skani() -> None:
+    """The per-mode c values are skani's own presets."""
+    assert MODE_C == {
+        "fast": 125,
+        "medium": 70,
+        "slow": 30,
+        "small-genomes": 30,
+    }
+
+
+@pytest.mark.parametrize("mode", sorted(MODE_C))
+def test_configuration_records_mode(mode) -> None:
+    config = skani.configuration(mode=mode)
+    assert config["method"] == "skani"
+    assert config["mode"] == mode
+
+
+def test_denser_mode_still_accurate_on_synthetic_pair() -> None:
+    """medium mode (c=70) reports ANI within 1.5 points of truth on a
+    simple 97%-identity synthetic pair, like fast mode does."""
+    from pyani_plus_tpu.genomes import Genome, SequenceRecord
+    from pyani_plus_tpu.utils import str_md5sum
+
+    rng = np.random.default_rng(23)
+    base = rng.integers(0, 4, 400_000, dtype=np.uint8)
+    mutated = base.copy()
+    sites = rng.random(base.size) < 0.03
+    mutated[sites] = (mutated[sites] + rng.integers(1, 4, int(sites.sum()))) % 4
+
+    def _genome(codes, name):
+        return Genome(
+            md5=str_md5sum(name),
+            path=None,
+            records=[SequenceRecord(title=name.encode(), codes=codes)],
+        )
+
+    res = skani.compute_pair(
+        _genome(base, "base"), _genome(mutated, "mut"), "medium"
+    )
+    assert res["identity"] is not None
+    assert abs(res["identity"] - 0.97) < 0.015
+    assert res["cov_query"] > 0.9
