@@ -30,7 +30,10 @@ def test_sampled_density_tracks_c() -> None:
     for mode, c in MODE_C.items():
         hashes, pos, strand = _sampled(codes, c)
         density = hashes.size / n_kmers
-        assert 0.5 / c < density < 2.0 / c, (mode, density)
+        # The canonical hash is min(fwd, revcomp) of two uniforms, whose
+        # CDF near zero is ~2t -- so the <= 2^64/c filter keeps ~2/c of
+        # positions, not 1/c.
+        assert 1.2 / c < density < 2.8 / c, (mode, density)
         assert np.all(np.diff(pos) > 0)  # positions ascending
         assert set(np.unique(strand)).issubset({0, 1})
 
