@@ -35,7 +35,7 @@ def test_sampled_density_tracks_c() -> None:
         # positions, not 1/c.
         assert 1.2 / c < density < 2.8 / c, (mode, density)
         assert np.all(np.diff(pos) > 0)  # positions ascending
-        assert set(np.unique(strand)).issubset({0, 1})
+        assert set(np.unique(strand)).issubset({-1, 1})  # strand sign
 
 
 def test_sampled_deterministic() -> None:
