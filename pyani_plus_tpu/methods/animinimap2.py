@@ -59,16 +59,27 @@ def _interval_union_inclusive(intervals: list[tuple[int, int]]) -> int:
     return total
 
 
-def compute_pair(query: Genome, subject: Genome, preset: str) -> dict:
+def compute_pair(
+    query: Genome,
+    subject: Genome,
+    preset: str,
+    subject_index: tuple | None = None,
+) -> dict:
+    """One directed comparison; ``subject_index`` (from
+    :func:`build_subject_index`) reuses the subject's sketches/index
+    across queries, as the reference reuses one .mmi per subject."""
     k, w = PRESET_PARAMS.get(preset, PRESET_PARAMS[DEFAULT_PRESET])
-    ref_records = [rec.codes for rec in subject.records]
-    ref_sketches = [sketch(rec, k, w) for rec in ref_records]
+    if subject_index is None:
+        subject_index = build_subject_index(subject, preset)
+    ref_records, ref_sketches, ref_index, mid_occ = subject_index
     aligned = 0
     identical = 0
     qry_regions: dict[int, list] = {}
     ref_regions: dict[int, list] = {}
     for qi, q_rec in enumerate(query.records):
-        for rec in map_query_multi(ref_records, q_rec.codes, k, w, ref_sketches):
+        for rec in map_query_multi(
+            ref_records, q_rec.codes, k, w, ref_sketches, ref_index, mid_occ
+        ):
             if rec.mapq == 0:
                 continue  # ref parser skips failed alignments (:99-101)
             aligned += (rec.tend - rec.tstart + 1) + (rec.qend - rec.qstart + 1)
@@ -99,11 +110,47 @@ def compute_pair(query: Genome, subject: Genome, preset: str) -> dict:
     }
 
 
-def compute(ctx: ComputeContext) -> list[dict]:
-    preset = ctx.config.get("mode") or DEFAULT_PRESET
-    from pyani_plus_tpu.methods import run_pairwise
+def build_subject_index(subject: Genome, preset: str) -> tuple:
+    """(records, sketches, hash-sorted index, mid_occ) for one subject."""
+    from pyani_plus_tpu.ops.mm2 import build_index, mid_occ_threshold
 
-    return run_pairwise(
-        ctx,
-        lambda q, s: compute_pair(ctx.genomes[q], ctx.genomes[s], preset),
-    )
+    k, w = PRESET_PARAMS.get(preset, PRESET_PARAMS[DEFAULT_PRESET])
+    ref_records = [rec.codes for rec in subject.records]
+    ref_sketches = [sketch(rec, k, w) for rec in ref_records]
+    ref_index = build_index(ref_sketches)
+    return ref_records, ref_sketches, ref_index, mid_occ_threshold(ref_index[0])
+
+
+def compute(ctx: ComputeContext) -> list[dict]:
+    """All pending pairs, subject-major: one index build per subject."""
+    preset = ctx.config.get("mode") or DEFAULT_PRESET
+    rows: list[dict] = []
+    try:
+        for subject_hash in sorted({s for _q, s in ctx.pending}):
+            subject_index = build_subject_index(
+                ctx.genomes[subject_hash], preset
+            )
+            for query_hash in sorted(
+                q for q, s in ctx.pending if s == subject_hash
+            ):
+                result = compute_pair(
+                    ctx.genomes[query_hash],
+                    ctx.genomes[subject_hash],
+                    preset,
+                    subject_index,
+                )
+                rows.append(
+                    {
+                        "query_hash": query_hash,
+                        "subject_hash": subject_hash,
+                        **result,
+                    }
+                )
+                ctx.tick()
+                ctx.maybe_flush(rows)
+    except KeyboardInterrupt:
+        ctx.interrupted = True
+        ctx.logger.error(
+            "Interrupted with %d completed comparisons", len(rows)
+        )
+    return rows

@@ -388,19 +388,24 @@ def map_query_multi(  # noqa: PLR0913
     k: int,
     w: int,
     ref_sketches=None,
+    ref_index=None,
+    mid_occ: int | None = None,
 ) -> list[PafRecord]:
     """Primary PAF records of one query vs a multi-sequence target index.
 
     Chains are built per target sequence (minimap2 never chains across
     sequences); the occurrence filter and the primary selection run over
-    the combined index, as a single minimap2 .mmi would.
+    the combined index, as a single minimap2 .mmi would. Passing
+    ``ref_sketches``/``ref_index``/``mid_occ`` reuses a prebuilt subject
+    index across queries (the .mmi reuse of the reference invocation).
     """
     if ref_sketches is None:
         ref_sketches = [sketch(rec, k, w) for rec in ref_records]
     qh, qp, qs = sketch(qry_codes, k, w)
     qlen = int(qry_codes.size)
-    index = build_index(ref_sketches)
-    mid_occ = mid_occ_threshold(index[0])
+    index = build_index(ref_sketches) if ref_index is None else ref_index
+    if mid_occ is None:
+        mid_occ = mid_occ_threshold(index[0])
 
     regions: list[PafRecord] = []
     anchors = collect_anchors(index, qh, qp, qs, qlen, k, mid_occ)
