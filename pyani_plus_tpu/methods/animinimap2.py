@@ -30,6 +30,7 @@ NAME = "ANIminimap2"
 PROGRAM = "pyani-plus-tpu-minimap2"
 
 DEFAULT_PRESET = "asm20"  # ref animinimap2.py:49
+SKETCH_CACHE_CAP = 64  # query-record sketches kept across subject columns
 
 
 def configuration(*, mode: str = DEFAULT_PRESET) -> dict:
@@ -64,10 +65,12 @@ def compute_pair(
     subject: Genome,
     preset: str,
     subject_index: tuple | None = None,
+    sketch_cache: dict | None = None,
 ) -> dict:
     """One directed comparison; ``subject_index`` (from
     :func:`build_subject_index`) reuses the subject's sketches/index
-    across queries, as the reference reuses one .mmi per subject."""
+    across queries, as the reference reuses one .mmi per subject, and
+    ``sketch_cache`` memoises query sketches across subject columns."""
     k, w = PRESET_PARAMS.get(preset, PRESET_PARAMS[DEFAULT_PRESET])
     if subject_index is None:
         subject_index = build_subject_index(subject, preset)
@@ -77,8 +80,21 @@ def compute_pair(
     qry_regions: dict[int, list] = {}
     ref_regions: dict[int, list] = {}
     for qi, q_rec in enumerate(query.records):
+        q_sk = None
+        if sketch_cache is not None:
+            key = (query.md5, qi, k, w)
+            q_sk = sketch_cache.get(key)
+            if q_sk is None:
+                q_sk = sketch_cache[key] = sketch(q_rec.codes, k, w)
+                # Bound the cache (~10 MB per bacterial record): small
+                # runs keep every query sketch across subject columns,
+                # huge runs degrade to per-column sketching, which the
+                # chaining cost dominates anyway.
+                while len(sketch_cache) > SKETCH_CACHE_CAP:
+                    sketch_cache.pop(next(iter(sketch_cache)))
         for rec in map_query_multi(
-            ref_records, q_rec.codes, k, w, ref_sketches, ref_index, mid_occ
+            ref_records, q_rec.codes, k, w, ref_sketches, ref_index, mid_occ,
+            qry_sketch=q_sk,
         ):
             if rec.mapq == 0:
                 continue  # ref parser skips failed alignments (:99-101)
@@ -125,6 +141,7 @@ def compute(ctx: ComputeContext) -> list[dict]:
     """All pending pairs, subject-major: one index build per subject."""
     preset = ctx.config.get("mode") or DEFAULT_PRESET
     rows: list[dict] = []
+    sketch_cache: dict = {}
     try:
         for subject_hash in sorted({s for _q, s in ctx.pending}):
             subject_index = build_subject_index(
@@ -138,6 +155,7 @@ def compute(ctx: ComputeContext) -> list[dict]:
                     ctx.genomes[subject_hash],
                     preset,
                     subject_index,
+                    sketch_cache,
                 )
                 rows.append(
                     {

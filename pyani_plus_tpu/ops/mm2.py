@@ -390,6 +390,7 @@ def map_query_multi(  # noqa: PLR0913
     ref_sketches=None,
     ref_index=None,
     mid_occ: int | None = None,
+    qry_sketch=None,
 ) -> list[PafRecord]:
     """Primary PAF records of one query vs a multi-sequence target index.
 
@@ -397,11 +398,12 @@ def map_query_multi(  # noqa: PLR0913
     sequences); the occurrence filter and the primary selection run over
     the combined index, as a single minimap2 .mmi would. Passing
     ``ref_sketches``/``ref_index``/``mid_occ`` reuses a prebuilt subject
-    index across queries (the .mmi reuse of the reference invocation).
+    index across queries (the .mmi reuse of the reference invocation);
+    ``qry_sketch`` reuses the query's own sketch across subjects.
     """
     if ref_sketches is None:
         ref_sketches = [sketch(rec, k, w) for rec in ref_records]
-    qh, qp, qs = sketch(qry_codes, k, w)
+    qh, qp, qs = qry_sketch if qry_sketch is not None else sketch(qry_codes, k, w)
     qlen = int(qry_codes.size)
     index = build_index(ref_sketches) if ref_index is None else ref_index
     if mid_occ is None:
