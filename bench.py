@@ -192,6 +192,9 @@ def bench_alignment_methods(rng) -> dict:
     out["anib_projected_days_n1000"] = round(
         out["anib_divergent_pair_seconds"] * 1e6 / 86400.0, 1
     )
+    out["animinimap2_projected_days_n1000"] = round(
+        out["animinimap2_divergent_pair_seconds"] * 1e6 / 86400.0, 1
+    )
     # Warm-subject (column-amortised) cost: the cached subject suffix
     # automaton is reused, so this is the marginal per-pair cost of an
     # all-vs-all column (ops/suffix.SeedIndexCache).
@@ -200,6 +203,14 @@ def bench_alignment_methods(rng) -> dict:
         ("dnadiff", "dnadiff_divergent_pair_warm_seconds"),
     ):
         out[key] = round(_time_method(method, genomes, (md5_q2, md5_r)), 2)
+    # Warm-subject projection: the realistic all-vs-all cost model (one
+    # cold indexing per column, warm pairs after)
+    out["anim_projected_days_n1000"] = round(
+        out["anim_divergent_pair_warm_seconds"] * 1e6 / 86400.0, 1
+    )
+    out["dnadiff_projected_days_n1000"] = round(
+        out["dnadiff_divergent_pair_warm_seconds"] * 1e6 / 86400.0, 1
+    )
     return out
 
 
