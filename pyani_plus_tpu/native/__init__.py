@@ -622,6 +622,23 @@ def _load_mm2():
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.mm2_chain_rmq2_f.restype = None
+        lib.mm2_chain_rmq2_f.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_float,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         lib.mm2_chain_rmq2.restype = None
         lib.mm2_chain_rmq2.argtypes = [
             ctypes.POINTER(ctypes.c_int64),
@@ -780,6 +797,7 @@ def mm2_chain_rmq2_native(  # noqa: PLR0913
     max_skip: int = 25,
     cap_rmq_size: int = 100000,
     pri_mode: int = 0,
+    flags: int = 0,
 ):
     """mg_chain_rmq heuristic chain scores -> (f, p), or None."""
     lib = _load_mm2()
@@ -790,7 +808,7 @@ def mm2_chain_rmq2_native(  # noqa: PLR0913
     n = ax.size
     f = np.zeros(n, dtype=np.int32)
     p = np.full(n, -1, dtype=np.int64)
-    lib.mm2_chain_rmq2(
+    lib.mm2_chain_rmq2_f(
         ax.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         ay.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         n,
@@ -802,6 +820,7 @@ def mm2_chain_rmq2_native(  # noqa: PLR0913
         cap_rmq_size,
         chn_pen_gap,
         pri_mode,
+        flags,
         f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         p.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )

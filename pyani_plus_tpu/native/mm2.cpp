@@ -265,11 +265,15 @@ void mm2_chain_rmq(const int64_t *ax, const int32_t *ay, int64_t n,
 //  - the active set is capped at cap_rmq_size by evicting smallest-x.
 // pri_mode selects the surrogate: 0 -> f[j] + .5*c*(x_j+y_j),
 // 1 -> f[j] + c*y_j, 2 -> f[j].
-void mm2_chain_rmq2(const int64_t *ax, const int32_t *ay, int64_t n,
-                    int32_t q_span, int32_t max_dist, int32_t max_dist_inner,
-                    int32_t bw, int32_t max_skip, int32_t cap_rmq_size,
-                    float chn_pen_gap, int32_t pri_mode, int32_t *f,
-                    int64_t *p) {
+// flags bitmask (default 0 = production semantics): 1 = reject dq <= 0
+// joins, 2 = run the inner scan even when the outer candidate is exact,
+// 4 = open outer y-window lower bound (y_j > y_i - max_dist).
+void mm2_chain_rmq2_f(const int64_t *ax, const int32_t *ay, int64_t n,
+                      int32_t q_span, int32_t max_dist,
+                      int32_t max_dist_inner, int32_t bw, int32_t max_skip,
+                      int32_t cap_rmq_size, float chn_pen_gap,
+                      int32_t pri_mode, int32_t flags, int32_t *f,
+                      int64_t *p) {
   if (n == 0) return;
   // --- coordinate-compress y for the outer segment tree
   std::vector<int32_t> ys(ay, ay + n);
@@ -365,6 +369,11 @@ void mm2_chain_rmq2(const int64_t *ax, const int32_t *ay, int64_t n,
   auto comput_sc = [&](int64_t i, int64_t j, int32_t *exact,
                        int32_t *width) -> int32_t {
     const int32_t dq = ay[i] - ay[j];
+    if ((flags & 1) && dq <= 0) {
+      *width = INT32_MAX;
+      if (exact) *exact = 0;
+      return INT32_MIN / 2;
+    }
     const int64_t dr64 = ax[i] - ax[j];
     const int32_t dr = (int32_t)dr64;
     const int32_t dd = dr > dq ? dr - dq : dq - dr;
@@ -410,7 +419,8 @@ void mm2_chain_rmq2(const int64_t *ax, const int32_t *ay, int64_t n,
     // outer: single RMQ candidate in y-window [y_i - max_dist, y_i]
     int32_t exact = 0;
     {
-      const int32_t lo = ylower(ay[i] - max_dist), hi = yupper(ay[i]);
+      const int32_t win_lo = (flags & 4) ? ay[i] - max_dist + 1 : ay[i] - max_dist;
+      const int32_t lo = ylower(win_lo), hi = yupper(ay[i]);
       if (lo <= hi) {
         const int64_t j = seg_query(lo, hi);
         if (j >= 0) {
@@ -426,7 +436,7 @@ void mm2_chain_rmq2(const int64_t *ax, const int32_t *ay, int64_t n,
       }
     }
     // inner: serial scan by descending y with the DP skip heuristic
-    if (max_dist_inner > 0 && (max_j < 0 || !exact)) {
+    if (max_dist_inner > 0 && ((flags & 2) || max_j < 0 || !exact)) {
       int32_t n_skip = 0;
       auto it = inner.upper_bound({ay[i], i});
       while (it != inner.begin()) {
@@ -513,6 +523,15 @@ int64_t mm2_backtrack(const int32_t *f, const int64_t *p, int64_t n,
     }
   }
   return n_chains;
+}
+
+void mm2_chain_rmq2(const int64_t *ax, const int32_t *ay, int64_t n,
+                    int32_t q_span, int32_t max_dist, int32_t max_dist_inner,
+                    int32_t bw, int32_t max_skip, int32_t cap_rmq_size,
+                    float chn_pen_gap, int32_t pri_mode, int32_t *f,
+                    int64_t *p) {
+  mm2_chain_rmq2_f(ax, ay, n, q_span, max_dist, max_dist_inner, bw, max_skip,
+                   cap_rmq_size, chn_pen_gap, pri_mode, 0, f, p);
 }
 
 }  // extern "C"

@@ -102,6 +102,7 @@ RMQ_SIZE_CAP = 100000
 RMQ_RESCUE_SIZE = 1000
 RMQ_RESCUE_RATIO = 0.1
 RMQ_PRI_MODE = 0
+RMQ_FLAGS = 0  # semantic micro-variants of the kernel (native mm2.cpp)
 PASS1_MIN_SC = MIN_CHAIN_SCORE
 PASS1_MIN_CNT = MIN_CNT
 
@@ -324,6 +325,7 @@ def _chain_fill(x: np.ndarray, y: np.ndarray, k: int, max_dist: int, bw: int):
     result = mm2_chain_rmq2_native(
         x, y, k, max_dist, RMQ_INNER_DIST, bw, CHAIN_GAP_SCALE * 0.01 * k,
         max_skip=MAX_SKIP, cap_rmq_size=RMQ_SIZE_CAP, pri_mode=RMQ_PRI_MODE,
+        flags=RMQ_FLAGS,
     )
     if result is None:  # pragma: no cover - no compiler
         raise RuntimeError("mm2 native kernel unavailable")
