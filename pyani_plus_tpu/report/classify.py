@@ -72,6 +72,31 @@ def construct_graph(
     graph = nx.Graph()
     genomes = cov_matrix.columns
     graph.add_nodes_from(genomes)
+    fast = _vectorised_agg(cov_matrix, coverage_agg), _vectorised_agg(
+        score_matrix, score_agg
+    )
+    if fast[0] is not None and fast[1] is not None:
+        # Vectorised path for the stock aggregators: at N=1000 the
+        # 499,500-pair Python loop of .at lookups costs ~40 s; the
+        # whole-matrix formulation is milliseconds and reproduces the
+        # loop's first-wins NaN semantics exactly (tested).
+        coverage_m, score_m = fast
+        i_idx, j_idx = np.triu_indices(len(genomes), k=1)
+        cov_vals = coverage_m[i_idx, j_idx]
+        score_vals = score_m[i_idx, j_idx]
+        keep = (
+            ~np.isnan(cov_vals)
+            & ~np.isnan(score_vals)
+            & (cov_vals > min_coverage)
+        )
+        names = np.asarray(genomes, dtype=object)
+        graph.add_edges_from(
+            (names[i], names[j], {"coverage": float(c), "score": float(s)})
+            for i, j, c, s in zip(
+                i_idx[keep], j_idx[keep], cov_vals[keep], score_vals[keep]
+            )
+        )
+        return graph
     for genome1, genome2 in combinations(genomes, 2):
         # matrix[col][row]: direction (query=row, subject=col)
         directions = [(genome2, genome1), (genome1, genome2)]
@@ -81,6 +106,30 @@ def construct_graph(
             continue
         graph.add_edge(genome1, genome2, coverage=coverage, score=score)
     return graph
+
+
+def _vectorised_agg(matrix: pd.DataFrame, agg: Callable) -> np.ndarray | None:
+    """Whole-matrix pairwise aggregation for the stock agg functions.
+
+    For the unordered pair (g1, g2) at positions (i, j), the loop
+    evaluates ``agg([M[j, i], M[i, j]])`` -- first direction (genome2,
+    genome1). Python's min/max return the FIRST element when a
+    comparison involves NaN (all comparisons False), so
+    ``min([x, y]) == y if y < x else x`` -- the np.where forms below
+    reproduce that exactly, NaNs included; np.mean propagates NaN.
+    Returns None for a non-stock aggregator (generic loop handles it).
+    """
+    values = matrix.to_numpy(dtype=float)
+    x = values.T  # x[i, j] = M[j, i], the first direction
+    y = values
+    with np.errstate(invalid="ignore"):
+        if agg is min:
+            return np.where(y < x, y, x)
+        if agg is max:
+            return np.where(y > x, y, x)
+        if agg is np.mean:
+            return (x + y) / 2.0
+    return None
 
 
 def is_clique(graph: nx.Graph) -> bool:

@@ -237,3 +237,39 @@ def test_compute_classify_output_rounding(tmp_path) -> None:
         "max_identity",
         "members",
     ]
+
+
+def test_vectorised_graph_matches_generic_loop() -> None:
+    """The whole-matrix fast path for the stock aggregators reproduces
+    the pairwise loop exactly, including the first-wins NaN semantics
+    of Python's min/max over the two comparison directions."""
+    import numpy as np
+    import pandas as pd
+
+    from pyani_plus_tpu.report import classify as classify_mod
+
+    rng = np.random.default_rng(3)
+    n = 60
+    labels = [f"g{i}" for i in range(n)]
+    ident = rng.uniform(0.3, 1.0, (n, n))
+    cov = rng.uniform(0.0, 1.0, (n, n))
+    for matrix in (ident, cov):
+        matrix[rng.random((n, n)) < 0.15] = np.nan
+    id_df = pd.DataFrame(ident, index=labels, columns=labels)
+    cov_df = pd.DataFrame(cov, index=labels, columns=labels)
+    for cov_agg in (min, max, np.mean):
+        for sc_agg in (min, max, np.mean):
+            fast = classify_mod.construct_graph(
+                cov_df, id_df, cov_agg, sc_agg, 0.5
+            )
+            # wrapping the callables defeats the identity check -> loop
+            slow = classify_mod.construct_graph(
+                cov_df,
+                id_df,
+                lambda v, a=cov_agg: a(v),
+                lambda v, a=sc_agg: a(v),
+                0.5,
+            )
+            assert set(fast.edges) == set(slow.edges)
+            for edge in fast.edges:
+                assert fast.edges[edge] == slow.edges[edge]
