@@ -606,22 +606,6 @@ def _load_mm2():
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_uint8),
         ]
-        lib.mm2_chain_rmq.restype = None
-        lib.mm2_chain_rmq.argtypes = [
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_int64,
-            ctypes.c_int32,
-            ctypes.c_int32,
-            ctypes.c_int32,
-            ctypes.c_int32,
-            ctypes.c_int32,
-            ctypes.c_int32,
-            ctypes.c_float,
-            ctypes.c_float,
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int64),
-        ]
         lib.mm2_chain_rmq2_f.restype = None
         lib.mm2_chain_rmq2_f.argtypes = [
             ctypes.POINTER(ctypes.c_int64),
@@ -667,21 +651,6 @@ def _load_mm2():
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int32),
         ]
-        lib.mm2_chain_dp.restype = None
-        lib.mm2_chain_dp.argtypes = [
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_int64,
-            ctypes.c_int32,
-            ctypes.c_int32,
-            ctypes.c_int32,
-            ctypes.c_int32,
-            ctypes.c_int32,
-            ctypes.c_int32,
-            ctypes.c_float,
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int64),
-        ]
         _mm2_lib = lib
     except Exception as exc:  # pragma: no cover - no compiler
         logging.getLogger(__package__).debug("native mm2 unavailable: %s", exc)
@@ -709,81 +678,6 @@ def mm2_sketch_native(codes: np.ndarray, k: int, w: int):
         out_s.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return out_h[:count], out_p[:count], out_s[:count]
-
-
-def mm2_chain_dp_native(  # noqa: PLR0913
-    ax: np.ndarray,
-    ay: np.ndarray,
-    q_span: int,
-    max_dist_x: int,
-    max_dist_y: int,
-    bw: int,
-    max_skip: int = 25,
-    max_iter: int = 5000,
-):
-    """minimap2 mm_chain_dp scores -> (f, p), or None."""
-    lib = _load_mm2()
-    if lib is None:
-        return None
-    ax = np.ascontiguousarray(ax, dtype=np.int64)
-    ay = np.ascontiguousarray(ay, dtype=np.int32)
-    n = ax.size
-    f = np.zeros(n, dtype=np.int32)
-    p = np.full(n, -1, dtype=np.int64)
-    lib.mm2_chain_dp(
-        ax.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        ay.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        n,
-        q_span,
-        max_dist_x,
-        max_dist_y,
-        bw,
-        max_skip,
-        max_iter,
-        float(q_span),
-        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        p.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-    )
-    return f, p
-
-
-def mm2_chain_rmq_native(  # noqa: PLR0913
-    ax: np.ndarray,
-    ay: np.ndarray,
-    q_span: int,
-    max_dist: int,
-    bw: int,
-    bw_long: int,
-    chn_pen_gap: float,
-    chn_pen_skip: float = 0.0,
-    max_skip: int = 25,
-    max_iter: int = 5000,
-):
-    """minimap2 >= 2.24 float-cost chain scores -> (f, p), or None."""
-    lib = _load_mm2()
-    if lib is None:
-        return None
-    ax = np.ascontiguousarray(ax, dtype=np.int64)
-    ay = np.ascontiguousarray(ay, dtype=np.int32)
-    n = ax.size
-    f = np.zeros(n, dtype=np.int32)
-    p = np.full(n, -1, dtype=np.int64)
-    lib.mm2_chain_rmq(
-        ax.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        ay.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        n,
-        q_span,
-        max_dist,
-        bw,
-        bw_long,
-        max_skip,
-        max_iter,
-        chn_pen_gap,
-        chn_pen_skip,
-        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        p.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-    )
-    return f, p
 
 
 def mm2_chain_rmq2_native(  # noqa: PLR0913

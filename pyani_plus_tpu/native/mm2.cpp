@@ -45,12 +45,6 @@ struct MinEntry {
   uint64_t y;  // pos<<1 | strand
 };
 
-inline int32_t ilog2_32(uint32_t v) {
-  int32_t r = 0;
-  while (v >>= 1) r++;
-  return r;
-}
-
 // minimap2's fast float log2 approximation (misc.h mg_log2)
 inline float mg_log2(float x) {
   union { float f; uint32_t i; } z = {x};
@@ -141,112 +135,6 @@ int64_t mm2_sketch(const uint8_t *codes, int64_t n, int k, int w,
   }
   if (mn.x != UINT64_MAX) push(mn);
   return count;
-}
-
-// mm_chain_dp core: fill f (best chain score ending at i) and p
-// (predecessor or -1). Anchors must be sorted by (x, y). q_span is
-// constant (= k). Returns nothing; caller backtracks.
-void mm2_chain_dp(const int64_t *ax, const int32_t *ay, int64_t n,
-                  int32_t q_span, int32_t max_dist_x, int32_t max_dist_y,
-                  int32_t bw, int32_t max_skip, int32_t max_iter,
-                  float avg_qspan, int32_t *f, int64_t *p) {
-  std::vector<int64_t> t(n, -1);
-  int64_t st = 0;
-  for (int64_t i = 0; i < n; i++) {
-    const int64_t ri = ax[i];
-    const int32_t qi = ay[i];
-    int64_t max_j = -1;
-    int32_t max_f = q_span, n_skip = 0;
-    while (st < i && ri > ax[st] + max_dist_x) st++;
-    int64_t lo = st;
-    if (i - lo > max_iter) lo = i - max_iter;
-    for (int64_t j = i - 1; j >= lo; j--) {
-      const int64_t dr = ri - ax[j];
-      const int32_t dq = qi - ay[j];
-      if (dr == 0 || dq <= 0) continue;
-      if (dq > max_dist_y || dr > max_dist_x) continue;
-      const int64_t dd64 = dr > dq ? dr - dq : (int64_t)dq - dr;
-      if (dd64 > bw) continue;
-      const int32_t dd = (int32_t)dd64;
-      const int32_t min_d = dq < dr ? dq : (int32_t)dr;
-      int32_t sc = min_d > q_span ? q_span : min_d;
-      if (dd) {
-        const int32_t log_dd = ilog2_32((uint32_t)dd);
-        sc -= (int32_t)(dd * 0.01 * avg_qspan) + (log_dd >> 1);
-      }
-      sc += f[j];
-      if (sc > max_f) {
-        max_f = sc;
-        max_j = j;
-        if (n_skip > 0) n_skip--;
-      } else if (t[j] == i) {
-        if (++n_skip > max_skip) break;
-      }
-      if (p[j] >= 0) t[p[j]] = i;
-    }
-    f[i] = max_f;
-    p[i] = max_j;
-  }
-}
-
-// mm_chain_rmq-era scoring (minimap2 >= 2.24, the reference pins
-// >= 2.31): float linear + half-log2 gap cost with mg_log2's fast
-// bit-trick approximation, chn_pen_gap = chain_gap_scale(0.8) * 0.01 *
-// k, chn_pen_skip = 0. Join limits differ from the 2.17 DP: gap spans
-// are bounded by max_gap (10k) on BOTH axes while the diagonal
-// difference may reach bw_long (100k, inactive once spans are capped).
-// The RMQ tree itself is an O(n log n) device for huge anchor sets;
-// with spans capped at 10k the same sliding window search visits every
-// candidate the tree would return, so this keeps the bounded loop.
-void mm2_chain_rmq(const int64_t *ax, const int32_t *ay, int64_t n,
-                   int32_t q_span, int32_t max_dist, int32_t bw,
-                   int32_t bw_long, int32_t max_skip, int32_t max_iter,
-                   float chn_pen_gap, float chn_pen_skip, int32_t *f,
-                   int64_t *p) {
-  std::vector<int64_t> t(n, -1);
-  int64_t st = 0;
-  for (int64_t i = 0; i < n; i++) {
-    const int64_t ri = ax[i];
-    const int32_t qi = ay[i];
-    int64_t max_j = -1;
-    int32_t max_f = q_span, n_skip = 0;
-    while (st < i && ri > ax[st] + bw_long) st++;
-    int64_t lo = st;
-    if (i - lo > max_iter) lo = i - max_iter;
-    for (int64_t j = i - 1; j >= lo; j--) {
-      const int64_t dr = ri - ax[j];
-      const int32_t dq = qi - ay[j];
-      if (dr == 0 || dq <= 0) continue;
-      if (dq > bw_long) continue;
-      const int64_t dd64 = dr > dq ? dr - dq : (int64_t)dq - dr;
-      // two regimes: ordinary joins are bounded by max_gap on both
-      // axes with the diagonal free to drift up to bw_long; LONG
-      // (RMQ-style) joins may span up to bw_long on either axis but
-      // must stay near-diagonal (dd <= bw) -- the two-level -r
-      // bw,bw_long of the asm presets
-      const bool inner = dr <= max_dist && dq <= max_dist;
-      if (dd64 > (inner ? (int64_t)bw_long : (int64_t)bw)) continue;
-      const int32_t dd = (int32_t)dd64;
-      const int32_t dg = dq < dr ? dq : (int32_t)dr;
-      int32_t sc = dg > q_span ? q_span : dg;
-      if (dd || dg > q_span) {
-        float lin_pen = chn_pen_gap * (float)dd + chn_pen_skip * (float)dg;
-        float log_pen = dd >= 1 ? mg_log2((float)dd + 1.0f) : 0.0f;
-        sc -= (int32_t)(lin_pen + 0.5f * log_pen);
-      }
-      sc += f[j];
-      if (sc > max_f) {
-        max_f = sc;
-        max_j = j;
-        if (n_skip > 0) n_skip--;
-      } else if (t[j] == i) {
-        if (++n_skip > max_skip) break;
-      }
-      if (p[j] >= 0) t[p[j]] = i;
-    }
-    f[i] = max_f;
-    p[i] = max_j;
-  }
 }
 
 // mg_chain_rmq (lchain.c, minimap2 >= 2.24): the heuristic RMQ chain

@@ -63,20 +63,14 @@ PRESET_PARAMS = {  # minimap2 asm presets (options.c): (k, w)
     "asm10": (19, 19),
     "asm20": (19, 10),
 }
-# Chain join limits: minimap2 >= 2.24 asm-preset (RMQ-era) semantics.
-# Gap spans are bounded by max_gap on both axes; the diagonal difference
-# may reach bw_long (-r bw,bw_long; 100k, inactive once spans are
-# capped); the gap cost is the float chn_pen_gap*dd + 0.5*mg_log2(dd+1)
-# of lchain.c comp_sc with chn_pen_gap = chain_gap_scale(0.8)*0.01*k and
-# chn_pen_skip = 0. With spans capped the bounded sliding-window DP
-# visits every candidate the RMQ tree would return (the tree is an
-# O(n log n) device for huge anchor sets, not a semantics change).
+# Chain limits: the asm presets' man-page line is
+# "-k19 -w10/-w19 -U50,500 --rmq -r1k,100k -g10k" -- see the module
+# docstring for how each lands in the two-pass mg_chain_rmq below.
 MAX_GAP = 10000
 BW = 1000
 BW_LONG = 100000
 CHAIN_GAP_SCALE = 0.8
 MAX_SKIP = 25
-MAX_ITER = 5000
 MIN_CHAIN_SCORE = 40  # -m
 MIN_CNT = 3  # -n
 MASK_LEVEL = 0.5
