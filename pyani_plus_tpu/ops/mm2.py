@@ -131,7 +131,14 @@ def sketch(codes: np.ndarray, k: int, w: int):
 
 
 def mid_occ_threshold(ref_hashes: np.ndarray) -> int:
-    """minimap2 mid_occ: occurrence cap for seeding."""
+    """minimap2 mid_occ: occurrence cap for seeding.
+
+    >>> import numpy as np
+    >>> mid_occ_threshold(np.arange(100, dtype=np.uint64))  # all unique
+    50
+    >>> mid_occ_threshold(np.zeros(1000, dtype=np.uint64))  # one hash
+    500
+    """
     if ref_hashes.size == 0:
         return MIN_MID_OCC
     _, counts = np.unique(ref_hashes, return_counts=True)
@@ -152,6 +159,15 @@ def select_seeds(
     filtered seeds (occurrence ties broken by seed order), considering
     only seeds with occurrence <= MAX_MAX_OCC and at most MAX_HIGH_OCC
     eligible candidates per gap, scanned in position order.
+
+    >>> import numpy as np
+    >>> counts = np.array([1, 90, 80, 90, 1])   # three filtered seeds
+    >>> qend = np.array([10, 300, 600, 900, 1200])
+    >>> select_seeds(counts, qend, 1300, 50).tolist()  # gap quota = 2
+    [True, True, True, False, True]
+    >>> select_seeds(np.array([1, 90, 1]), np.array([10, 60, 110]),
+    ...              200, 50).tolist()  # 99 bp gap: quota 0
+    [True, False, True]
     """
     keep = counts <= mid_occ
     if keep.all():
@@ -341,7 +357,12 @@ def chain_anchors(x: np.ndarray, y: np.ndarray, k: int, *, pass2: bool = False):
 
 
 def _mlen_blen(x: np.ndarray, y: np.ndarray, k: int) -> tuple[int, int]:
-    """PAF nmatch / block length from chain anchors (hit.c accounting)."""
+    """PAF nmatch / block length from chain anchors (hit.c accounting).
+
+    >>> import numpy as np
+    >>> _mlen_blen(np.array([100, 110, 160]), np.array([50, 60, 90]), 19)
+    (48, 79)
+    """
     dq = np.diff(y.astype(np.int64))
     dr = np.diff(x.astype(np.int64))
     dmin = np.minimum(dq, dr)

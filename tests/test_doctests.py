@@ -20,6 +20,7 @@ MODULES = {
     "pyani_plus_tpu.ops.seeds": 1,
     "pyani_plus_tpu.methods.anib": 1,
     "pyani_plus_tpu.methods.skani": 1,
+    "pyani_plus_tpu.ops.mm2": 8,
 }
 
 
