@@ -94,3 +94,42 @@ def test_device_batched_scores_match_host(viral, monkeypatch) -> None:
     monkeypatch.setenv("PYANI_TPU_ANIB_DEVICE", "1")
     device = compute_pair(q, s, idx, FRAGSIZE)
     assert device == host
+
+
+def test_group_pooled_scoring_matches_per_pair(viral, monkeypatch) -> None:
+    """PYANI_TPU_ANIB_GROUP pools score tasks from several queries into
+    shared batches (the cross-pair device amortisation); results must be
+    identical to the unpooled per-pair path."""
+    import logging
+
+    from pyani_plus_tpu.methods import ComputeContext, anib
+
+    genomes = {
+        g.md5: g
+        for g in (
+            load_genome(p)
+            for ext in (".fas", ".fna", ".fasta")
+            for p in sorted(viral.glob(f"*{ext}"))
+        )
+    }
+
+    def run(group):
+        monkeypatch.setenv("PYANI_TPU_ANIB_GROUP", group)
+        hashes = sorted(genomes)
+        ctx = ComputeContext(
+            logger=logging.getLogger("t"),
+            genomes=genomes,
+            query_hashes=hashes,
+            subject_hashes=hashes,
+            pending={(q, s) for q in hashes for s in hashes},
+            config=anib.configuration(),
+        )
+        rows = anib.compute(ctx)
+        return {
+            (r["query_hash"], r["subject_hash"]): (
+                r["identity"], r["aln_length"], r["sim_errors"]
+            )
+            for r in rows
+        }
+
+    assert run("3") == run("1")
