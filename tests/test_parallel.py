@@ -173,3 +173,49 @@ def test_batched_dp_shards_over_mesh(mesh) -> None:
         s = subjects[i][subjects[i] != PAD_CODE]
         stats = dp.local_align_stats(q, s)
         assert int(got[i]) == (stats.score if stats else 0), i
+
+
+def test_mesh_opt_out_env(monkeypatch) -> None:
+    """PYANI_TPU_MESH=0 disables the production pair mesh entirely."""
+    from pyani_plus_tpu.parallel import tiles
+
+    monkeypatch.setenv("PYANI_TPU_MESH", "0")
+    tiles._DEFAULT_MESH_CACHE.clear()
+    assert tiles.default_pair_mesh() is None
+    monkeypatch.delenv("PYANI_TPU_MESH")
+    tiles._DEFAULT_MESH_CACHE.clear()
+    mesh = tiles.default_pair_mesh()
+    assert mesh is not None and mesh.devices.size == 8
+    tiles._DEFAULT_MESH_CACHE.clear()
+
+
+def test_profile_trace_capture(monkeypatch, tmp_path) -> None:
+    """PYANI_TPU_PROFILE=<dir> wraps the compute phase in a jax
+    profiler trace (SURVEY section 5 tracing subsystem)."""
+    import logging
+
+    from pyani_plus_tpu.db import Database
+    from pyani_plus_tpu.parallel.runner import resume_run
+
+    monkeypatch.setenv("PYANI_TPU_PROFILE", str(tmp_path / "trace"))
+    db = Database(tmp_path / "p.sqlite", create=True)
+    (tmp_path / "g").mkdir()
+    (tmp_path / "g" / "a.fasta").write_text(">a\n" + "ACGT" * 400 + "\n")
+    (tmp_path / "g" / "b.fasta").write_text(">b\n" + "ACCT" * 400 + "\n")
+    from pyani_plus_tpu.parallel.runner import (
+        _setup_run,
+        index_fasta_directory,
+    )
+
+    logger = logging.getLogger("t")
+    h2f = index_fasta_directory(logger, tmp_path / "g")
+    from pyani_plus_tpu.methods import sourmash as sm
+
+    run = _setup_run(
+        logger, db, tmp_path / "g", sm.configuration(scaled=10),
+        h2f, None, "cmd", "sourmash",
+    )
+    resume_run(logger, db, run, hash_to_filename=h2f, cache=tmp_path)
+    assert db.load_run(run.run_id).status == "Done"
+    trace_files = list((tmp_path / "trace").rglob("*"))
+    assert trace_files, "profiler trace directory is empty"
