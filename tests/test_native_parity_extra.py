@@ -82,3 +82,30 @@ def test_seed_join_native_matches_numpy_fallback(monkeypatch) -> None:
             assert np.array_equal(np.sort(a[frag]), np.sort(b[frag])), frag
     assert plus_a  # the shared stretches must actually produce hits
     assert minus_a
+
+
+def test_local_align_stats_native_matches_numpy() -> None:
+    """ops/dp.local_align_stats: native C++ vs the numpy oracle on random
+    pairs, including the N-column identity accounting."""
+    from pyani_plus_tpu.ops.dp import local_align_stats
+
+    rng = np.random.default_rng(29)
+    for _ in range(30):
+        m = int(rng.integers(20, 250))
+        q = rng.integers(0, 4, m).astype(np.uint8)
+        s = q.copy()
+        mut = rng.random(m) < 0.1
+        s[mut] = (s[mut] + 1) % 4
+        if rng.random() < 0.4:  # embed an N run on both sides
+            start = int(rng.integers(0, max(1, m - 12)))
+            ln = int(rng.integers(1, 12))
+            q[start : start + ln] = 4
+            s[start : start + ln] = 4
+        if rng.random() < 0.5:  # indel
+            cut = int(rng.integers(1, m - 1))
+            s = np.concatenate([s[:cut], rng.integers(0, 4, 3, dtype=np.uint8), s[cut:]])
+        native = local_align_stats(q, s)
+        oracle = local_align_stats(q, s, force_numpy=True)
+        assert (native is None) == (oracle is None)
+        if native is not None:
+            assert native == oracle
