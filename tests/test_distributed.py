@@ -172,3 +172,29 @@ def test_mpi_env_triggers_auto_detect(monkeypatch) -> None:
         assert called
     finally:
         dist._initialized = False
+
+
+@pytest.mark.skipif(not VIRAL.is_dir(), reason="reference fixtures missing")
+def test_concurrent_group_alignment_method(tmp_path) -> None:
+    """The collective runtime with an ALIGNMENT method (ANIm): per-host
+    pair ownership, merge to host 0, fixture-exact matrices."""
+    from pyani_plus_tpu.parallel.distributed import launch_local
+
+    db_tpl = tmp_path / "anim_{rank}.db"
+    code = launch_local(
+        2,
+        ["anim", str(VIRAL), "-d", str(db_tpl), "--create-db"],
+        timeout=420,
+    )
+    assert code == 0
+    with Database(tmp_path / "anim_0.db") as db:
+        (run,) = db.list_runs()
+        assert run.status == "Done"
+        assert run.comparisons_count() == 9
+        identity = run.relabelled_matrix(run.identities, "stem")
+    expected = pd.read_csv(
+        VIRAL / "matrices" / "ANIm_identity.tsv", sep="\t", index_col=0
+    )
+    identity = identity.sort_index(axis=0).sort_index(axis=1)
+    expected = expected.sort_index(axis=0).sort_index(axis=1)
+    assert np.allclose(identity.to_numpy(), expected.to_numpy(), atol=2e-8)
