@@ -162,15 +162,15 @@ def test_export_run_empty_outdir_created(done_db, tmp_path) -> None:
     assert (outdir / "sourmash_run_1.tsv").is_file()
 
 
-def test_launch_requires_a_command(runner) -> None:
-    result = runner.invoke(app, ["launch", "-n", "2"])
+def test_launch_requires_a_command() -> None:
+    result = CliRunner().invoke(app, ["launch", "-n", "2"])
     assert result.exit_code != 0
     assert "No command given" in result.output
 
 
-def test_version_flag(runner) -> None:
+def test_version_flag() -> None:
     from pyani_plus_tpu import __version__
 
-    result = runner.invoke(app, ["--version"], catch_exceptions=False)
+    result = CliRunner().invoke(app, ["--version"], catch_exceptions=False)
     assert result.exit_code == 0
     assert __version__ in result.output
