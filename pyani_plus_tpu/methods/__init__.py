@@ -105,12 +105,13 @@ def run_pairwise(ctx: ComputeContext, fn: Callable[[str, str], dict]) -> list[di
     reference workers' graceful-interrupt contract
     (private_cli.py:816-823).
 
-    PYANI_TPU_PAIR_WORKERS=K > 1 computes pairs through a K-thread pool
-    (the numeric kernels release the GIL inside ctypes/device calls, so
-    independent pairs scale across host cores -- the in-process analogue
-    of the reference's N concurrent column subprocesses under the local
-    Snakemake executor, workflows/__init__.py:158-171). Results are
-    emitted in completion order; the store is order-independent and the
+    Pairs are computed through a thread pool sized to the host's
+    available cores by default (the reference's local executor runs
+    `--cores all`, workflows/__init__.py:158-171; the numeric kernels
+    release the GIL inside ctypes/device calls, so independent pairs
+    scale across host cores). PYANI_TPU_PAIR_WORKERS=K overrides the
+    pool size; =1 opts out back to the serial loop. Results are emitted
+    in completion order; the store is order-independent and the
     interrupt contract is preserved (completed rows survive, the rest
     are cancelled).
     """
@@ -118,7 +119,13 @@ def run_pairwise(ctx: ComputeContext, fn: Callable[[str, str], dict]) -> list[di
 
     rows: list[dict] = []
     pairs = sorted(ctx.pending)
-    workers = int(os.environ.get("PYANI_TPU_PAIR_WORKERS", "1"))
+    env_workers = os.environ.get("PYANI_TPU_PAIR_WORKERS")
+    if env_workers is not None:
+        workers = int(env_workers)
+    else:
+        from pyani_plus_tpu.utils import available_cores
+
+        workers = available_cores()
     if workers > 1 and len(pairs) > 1:
         from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 

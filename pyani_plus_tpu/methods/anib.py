@@ -325,7 +325,7 @@ def _score_host(pairs: list[tuple[np.ndarray, np.ndarray]]) -> list[int]:
     return [one(p) for p in pairs]
 
 
-DEVICE_BATCH = 128  # candidate pairs per device call (fixed compile shape)
+DEVICE_BATCH = 512  # candidate pairs per device call (fixed compile shape)
 MAX_DEVICE_WINDOW = 32768  # larger windows fall back to the host scorer
 
 

@@ -6,11 +6,20 @@
 // cell choice (first maximum in row-major order), same traceback
 // preferences (diagonal > E > F on ties, shortest gap length).
 //
-// Used by the ANIb method for per-fragment best-HSP statistics once the
-// TPU batch DP has picked the winning window. ~1 ns/cell vs ~300 ns/cell
-// for the numpy path.
+// Layout: the row fill is split into a vectorisable pass (F/G/diag depend
+// only on the previous row, so gcc auto-vectorises them 16-wide with
+// AVX-512) and a short serial pass for the within-row E chain. The stats
+// kernel resolves every traceback decision AT FILL TIME into a per-cell
+// case byte (0 stop, 1 diagonal, 2 horizontal gap, 3 vertical gap) plus
+// a gap-origin index, so the traceback needs no value matrices at all:
+// the tie rules (diagonal > E > F; shortest gap = latest origin on
+// running-max ties) are applied to the exact same comparisons the
+// matrix-walk in ops/dp.py performs, which the fuzz parity tests pin.
 //
-// Build: g++ -O3 -shared -fPIC align.cpp -o libalign.so
+// Used by the ANIb method for per-fragment best-HSP statistics once the
+// TPU batch DP has picked the winning window.
+//
+// Build: g++ -O3 -march=native -shared -fPIC align.cpp -o libalign.so
 
 #include <cstdint>
 #include <cstring>
@@ -18,7 +27,18 @@
 
 namespace {
 constexpr int32_t NEG = -1000000;
-}
+
+// Reused per-thread scratch: the stats DP touches ~5 MB of case/origin
+// cells per fragment; reallocating (and page-faulting) that per call
+// dominated the old full-matrix kernel's runtime.
+struct Scratch {
+  std::vector<int32_t> h_prev, f_prev, g_row, d_row, f_row, s32;
+  std::vector<int32_t> e_row, eo_row;
+  std::vector<uint8_t> cases;
+  std::vector<int32_t> origin, forig;
+};
+thread_local Scratch scratch;
+}  // namespace
 
 extern "C" {
 
@@ -29,106 +49,144 @@ int local_align_stats(const uint8_t *q, int64_t m, const uint8_t *s,
                       int64_t n, int reward, int penalty, int gap_open,
                       int gap_extend, int64_t *out) {
   if (m == 0 || n == 0) return 0;
-  const int go_ge = gap_open + gap_extend;
-  const int ge = gap_extend;
+  const int32_t go_ge = gap_open + gap_extend;
+  const int32_t ge = gap_extend;
 
-  std::vector<int32_t> H((m + 1) * (n + 1), 0);
-  std::vector<int32_t> E((m + 1) * (n + 1), NEG);
-  std::vector<int32_t> F((m + 1) * (n + 1), NEG);
+  Scratch &sc_ = scratch;
+  sc_.h_prev.assign(n + 1, 0);
+  sc_.f_prev.assign(n + 1, NEG);
+  sc_.g_row.resize(n + 1);
+  sc_.d_row.resize(n + 1);
+  sc_.e_row.resize(n + 1);
+  sc_.eo_row.resize(n + 1);
+  sc_.s32.resize(n);
+  const int64_t stride = n + 1;
+  if ((int64_t)sc_.cases.size() < (m + 1) * stride) {
+    sc_.cases.resize((m + 1) * stride);
+    sc_.origin.resize((m + 1) * stride);
+  }
+  sc_.forig.assign(n + 1, 0);
+
+  int32_t *__restrict__ h_prev = sc_.h_prev.data();
+  int32_t *__restrict__ f_prev = sc_.f_prev.data();
+  int32_t *__restrict__ g_row = sc_.g_row.data();
+  int32_t *__restrict__ d_row = sc_.d_row.data();
+  int32_t *__restrict__ e_row = sc_.e_row.data();
+  int32_t *__restrict__ eo_row = sc_.eo_row.data();
+  int32_t *__restrict__ s32 = sc_.s32.data();
+  uint8_t *__restrict__ cases = sc_.cases.data();
+  int32_t *__restrict__ origin = sc_.origin.data();
+  int32_t *__restrict__ forig = sc_.forig.data();
+  for (int64_t j = 0; j < n; j++) s32[j] = (s[j] < 4) ? (int32_t)s[j] : -1;
 
   int32_t best_score = 0;
   int64_t best_i = 0, best_j = 0;
-  const int64_t stride = n + 1;
 
   for (int64_t i = 1; i <= m; i++) {
-    const uint8_t qc = q[i - 1];
-    int32_t *h_row = &H[i * stride];
-    int32_t *h_prev = &H[(i - 1) * stride];
-    int32_t *e_row = &E[i * stride];
-    int32_t *f_row = &F[i * stride];
-    int32_t *f_prev = &F[(i - 1) * stride];
-    int32_t e_run = NEG;
+    const uint8_t qraw = q[i - 1];
+    const int32_t qc = (qraw < 4) ? (int32_t)qraw : -2;  // never == s32
+    uint8_t *__restrict__ case_row = &cases[i * stride];
+    int32_t *__restrict__ orig_row = &origin[i * stride];
+    const int32_t iprev = (int32_t)(i - 1);
+    // Pass 1 (vectorisable): everything that depends only on row i-1.
+    // f_prev/forig update in place (read-then-write at the same j).
+#pragma GCC ivdep
     for (int64_t j = 1; j <= n; j++) {
-      const uint8_t sc = s[j - 1];
-      const bool match = (qc == sc) && qc < 4 && sc < 4;
-      const int32_t sub = match ? reward : penalty;
+      const int32_t sub = (s32[j - 1] == qc) ? reward : penalty;
       const int32_t diag = h_prev[j - 1] + sub;
-      int32_t f = h_prev[j] - go_ge;
+      const int32_t f_open = h_prev[j] - go_ge;
       const int32_t f_ext = f_prev[j] - ge;
-      if (f_ext > f) f = f_ext;
-      int32_t g = diag;
-      if (f > g) g = f;
+      // shortest-gap rule: reopening (origin i-1) wins ties
+      const int32_t f = (f_open >= f_ext) ? f_open : f_ext;
+      forig[j] = (f_open >= f_ext) ? iprev : forig[j];
+      f_prev[j] = f;
+      int32_t g = diag > f ? diag : f;
       if (g < 0) g = 0;
-      // E[j] = max over j'<j of G[j'] - go - ge*(j-j'), maintained as a
-      // running value: e_run already includes the -ge for this column.
-      const int32_t e = e_run;
-      int32_t h = g;
-      if (e > h) h = e;
-      h_row[j] = h;
-      e_row[j] = e;
-      f_row[j] = f;
-      if (h > best_score) {
-        best_score = h;
-        best_i = i;
-        best_j = j;
+      d_row[j] = diag;
+      g_row[j] = g;
+    }
+    // Pass 2 (serial, minimal): the within-row E chain with its origin;
+    // shortest-gap rule: reopening at this column wins running ties.
+    {
+      int32_t e_run = NEG;
+      int32_t e_orig = 0;
+      for (int64_t j = 1; j <= n; j++) {
+        e_row[j] = e_run;
+        eo_row[j] = e_orig;
+        const int32_t cand = g_row[j] - go_ge;
+        const int32_t carry = e_run - ge;
+        const bool re = cand >= carry;
+        e_run = re ? cand : carry;
+        e_orig = re ? (int32_t)j : e_orig;
       }
-      // Prepare e_run for column j+1: max(E[j] - ge, G[j] - go - ge)
-      int32_t cand = g - go_ge;
-      int32_t carry = e - ge;
-      e_run = (cand > carry) ? cand : carry;
+    }
+    // Pass 3 (vectorisable): H + traceback decisions, resolved now:
+    // priority diag > E > F, stop at h <= 0 (matches the matrix-walk's
+    // `while H > 0` + equality order in ops/dp.py local_align_stats).
+#pragma GCC ivdep
+    for (int64_t j = 1; j <= n; j++) {
+      const int32_t g = g_row[j];
+      const int32_t e = e_row[j];
+      const int32_t h = g > e ? g : e;
+      h_prev[j] = h;
+      const uint8_t c =
+          (h <= 0) ? 0 : (h == d_row[j]) ? 1 : (h == e) ? 2 : 3;
+      case_row[j] = c;
+      orig_row[j] = (c == 2) ? eo_row[j] : forig[j];
+    }
+    // First maximum in row-major order: row max (vectorisable), then
+    // first index on strict improvement only.
+    int32_t row_best = 0;
+    for (int64_t j = 1; j <= n; j++)
+      row_best = h_prev[j] > row_best ? h_prev[j] : row_best;
+    if (row_best > best_score) {
+      best_score = row_best;
+      best_i = i;
+      for (int64_t j = 1; j <= n; j++)
+        if (h_prev[j] == row_best) {
+          best_j = j;
+          break;
+        }
     }
   }
   if (best_score <= 0) return 0;
 
-  // Traceback (diagonal > E > F on ties, shortest gap)
+  // Traceback over the case/origin planes only.
   int64_t i = best_i, j = best_j;
   int64_t length = 0, matches = 0, mismatches = 0, gaps = 0, gap_opens = 0;
-  while (i > 0 && j > 0 && H[i * stride + j] > 0) {
-    const uint8_t qc = q[i - 1], sc = s[j - 1];
-    const bool match = (qc == sc) && qc < 4 && sc < 4;
-    const int32_t sub = match ? reward : penalty;
-    const int32_t h = H[i * stride + j];
-    if (h == H[(i - 1) * stride + (j - 1)] + sub) {
+  while (i > 0 && j > 0) {
+    const uint8_t c = cases[i * stride + j];
+    if (c == 0) break;
+    if (c == 1) {
       length++;
       // blastn counts IDENTITIES by letter equality, so N aligned to N
       // is an identity (pident 100.000 across an N run) even though it
       // SCORES as a penalty; mismatch = non-identical columns only.
-      if (qc == sc)
+      // LIMITATION: equality is tested on 2-bit codes, and every
+      // ambiguity letter encodes to 4 (genomes/__init__.py _ENCODE), so
+      // two DIFFERENT non-ACGT letters (e.g. W vs R) also count as an
+      // identity here where blastn's letter equality would not. Only
+      // N==N columns are pinned by the reference fixtures.
+      if (q[i - 1] == s[j - 1])
         matches++;
       else
         mismatches++;
       i--;
       j--;
-    } else if (h == E[i * stride + j]) {
+    } else if (c == 2) {
+      const int64_t o = origin[i * stride + j];
+      const int64_t len = j - o;
       gap_opens++;
-      const int32_t target = E[i * stride + j];
-      int64_t ln = 1;
-      while (j - ln > 1) {
-        // G[i, j-ln] = max(0, diag, F) at that cell
-        const uint8_t sc2 = s[j - ln - 1];
-        const bool match2 = (qc == sc2) && qc < 4 && sc2 < 4;
-        int32_t g2 = H[(i - 1) * stride + (j - ln - 1)] +
-                     (match2 ? reward : penalty);
-        const int32_t f2 = F[i * stride + (j - ln)];
-        if (f2 > g2) g2 = f2;
-        if (g2 < 0) g2 = 0;
-        if (g2 - gap_open - ge * ln == target) break;
-        ln++;
-      }
-      length += ln;
-      gaps += ln;
-      j -= ln;
+      length += len;
+      gaps += len;
+      j = o;
     } else {
+      const int64_t o = origin[i * stride + j];
+      const int64_t len = i - o;
       gap_opens++;
-      const int32_t target = F[i * stride + j];
-      int64_t ln = 1;
-      while (i - ln > 1) {
-        if (H[(i - ln) * stride + j] - gap_open - ge * ln == target) break;
-        ln++;
-      }
-      length += ln;
-      gaps += ln;
-      i -= ln;
+      length += len;
+      gaps += len;
+      i = o;
     }
   }
   out[0] = best_score;
@@ -149,34 +207,52 @@ int32_t local_align_score(const uint8_t *q, int64_t m, const uint8_t *s,
                           int64_t n, int reward, int penalty, int gap_open,
                           int gap_extend) {
   if (m == 0 || n == 0) return 0;
-  const int go_ge = gap_open + gap_extend;
-  const int ge = gap_extend;
-  std::vector<int32_t> h_prev(n + 1, 0), h_row(n + 1, 0);
-  std::vector<int32_t> f_prev(n + 1, NEG), f_row(n + 1, NEG);
+  const int32_t go_ge = gap_open + gap_extend;
+  const int32_t ge = gap_extend;
+  Scratch &sc_ = scratch;
+  sc_.h_prev.assign(n + 1, 0);
+  sc_.f_prev.assign(n + 1, NEG);
+  sc_.g_row.resize(n + 1);
+  sc_.f_row.resize(n + 1);
+  sc_.s32.resize(n);
+  int32_t *__restrict__ h_prev = sc_.h_prev.data();
+  int32_t *__restrict__ f_prev = sc_.f_prev.data();
+  int32_t *__restrict__ g_row = sc_.g_row.data();
+  int32_t *__restrict__ f_row = sc_.f_row.data();
+  int32_t *__restrict__ s32 = sc_.s32.data();
+  for (int64_t j = 0; j < n; j++) s32[j] = (s[j] < 4) ? (int32_t)s[j] : -1;
+
   int32_t best = 0;
   for (int64_t i = 1; i <= m; i++) {
-    const uint8_t qc = q[i - 1];
-    int32_t e_run = NEG;
-    h_row[0] = 0;
+    const uint8_t qraw = q[i - 1];
+    const int32_t qc = (qraw < 4) ? (int32_t)qraw : -2;
+    // Pass 1 (vectorisable): G from the previous row only.
     for (int64_t j = 1; j <= n; j++) {
-      const uint8_t sc = s[j - 1];
-      const bool match = (qc == sc) && qc < 4 && sc < 4;
-      const int32_t diag = h_prev[j - 1] + (match ? reward : penalty);
-      int32_t f = h_prev[j] - go_ge;
+      const int32_t sub = (s32[j - 1] == qc) ? reward : penalty;
+      const int32_t diag = h_prev[j - 1] + sub;
+      const int32_t f_open = h_prev[j] - go_ge;
       const int32_t f_ext = f_prev[j] - ge;
-      if (f_ext > f) f = f_ext;
+      const int32_t f = (f_open >= f_ext) ? f_open : f_ext;
       int32_t g = diag > f ? diag : f;
       if (g < 0) g = 0;
-      int32_t h = g > e_run ? g : e_run;
-      h_row[j] = h;
       f_row[j] = f;
-      if (h > best) best = h;
+      g_row[j] = g;
+    }
+    // Pass 2 (serial): the E chain + row max.
+    int32_t e_run = NEG;
+    int32_t row_best = 0;
+    for (int64_t j = 1; j <= n; j++) {
+      const int32_t g = g_row[j];
+      const int32_t h = g > e_run ? g : e_run;
+      h_prev[j] = h;
+      if (h > row_best) row_best = h;
       const int32_t cand = g - go_ge;
       const int32_t carry = e_run - ge;
       e_run = cand > carry ? cand : carry;
     }
-    std::swap(h_prev, h_row);
-    std::swap(f_prev, f_row);
+    if (row_best > best) best = row_best;
+    std::memcpy(f_prev + 1, f_row + 1, n * sizeof(int32_t));
+    h_prev[0] = 0;
   }
   return best;
 }

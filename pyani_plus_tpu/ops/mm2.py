@@ -96,7 +96,11 @@ RMQ_SIZE_CAP = 100000
 RMQ_RESCUE_SIZE = 1000
 RMQ_RESCUE_RATIO = 0.1
 RMQ_PRI_MODE = 0
-RMQ_FLAGS = 0  # semantic micro-variants of the kernel (native mm2.cpp)
+# Semantic micro-variants of the kernel (native mm2.cpp). Bit 1 rejects
+# dq <= 0 predecessor joins the way minimap2's comput_sc does (INT32_MIN
+# for zero query advance); measured as a no-op on every fixture pair, so
+# the faithful semantics are kept on by default.
+RMQ_FLAGS = 1
 PASS1_MIN_SC = MIN_CHAIN_SCORE
 PASS1_MIN_CNT = MIN_CNT
 

@@ -347,13 +347,17 @@ def resume_run(  # noqa: PLR0913, C901
             interrupted = True
         interrupted = interrupted or (ctx is not None and ctx.interrupted)
 
-    with _defer_interrupts(logger):
-        if collective:
-            # Collective result merge (ICI/DCN all-gather) replaces the
-            # reference's polled JSON import; every host receives the union
-            # so host 0's store ends complete even when workers used private
-            # databases. EVERY host joins, including those with no pending
-            # share (the gather is also the completion barrier).
+    if collective:
+        # Collective result merge (ICI/DCN all-gather) replaces the
+        # reference's polled JSON import; every host receives the union
+        # so host 0's store ends complete even when workers used private
+        # databases. EVERY host joins, including those with no pending
+        # share (the gather is also the completion barrier). The gather
+        # stays OUTSIDE the signal-defer window: it is a network barrier
+        # that blocks indefinitely if a peer host dies, and the worker
+        # must remain interruptible during it -- an interrupt falls
+        # through to persist whatever this host computed locally.
+        try:
             gathered = distributed.allgather_comparisons(rows)
             logger.info(
                 "Collective merge: %d local + %d remote comparisons",
@@ -361,6 +365,11 @@ def resume_run(  # noqa: PLR0913, C901
                 len(gathered) - len(rows),
             )
             rows = gathered if dist_index == 0 else rows
+        except KeyboardInterrupt:  # pragma: no cover - timing dependent
+            logger.error("Interrupted during collective merge; keeping "
+                         "this host's local results")
+            interrupted = True
+    with _defer_interrupts(logger):
         if rows:
             db.insert_comparisons(rows, configuration_id=run.configuration_id)
         if interrupted:

@@ -72,6 +72,16 @@ def construct_graph(
     graph = nx.Graph()
     genomes = cov_matrix.columns
     graph.add_nodes_from(genomes)
+    # The vectorised path below indexes both matrices positionally, so the
+    # two frames must share axis ordering; align score_matrix by label
+    # first (a no-op when they already match, which is the normal case).
+    if not (
+        cov_matrix.index.equals(score_matrix.index)
+        and cov_matrix.columns.equals(score_matrix.columns)
+    ):
+        score_matrix = score_matrix.reindex(
+            index=cov_matrix.index, columns=cov_matrix.columns
+        )
     fast = _vectorised_agg(cov_matrix, coverage_agg), _vectorised_agg(
         score_matrix, score_agg
     )

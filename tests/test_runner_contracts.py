@@ -69,7 +69,8 @@ def test_every_method_module_interface(name) -> None:
     assert config["version"]
 
 
-def test_run_pairwise_sequential_order_and_progress() -> None:
+def test_run_pairwise_sequential_order_and_progress(monkeypatch) -> None:
+    monkeypatch.setenv("PYANI_TPU_PAIR_WORKERS", "1")  # pin the serial path
     pairs = [("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")]
     seen = []
     ticks = []
@@ -83,9 +84,10 @@ def test_run_pairwise_sequential_order_and_progress() -> None:
     assert not ctx.interrupted
 
 
-def test_run_pairwise_interrupt_keeps_completed_rows() -> None:
+def test_run_pairwise_interrupt_keeps_completed_rows(monkeypatch) -> None:
     """KeyboardInterrupt mid-run returns the completed rows and flags
     the context (the 'Worker interrupted' persistence contract)."""
+    monkeypatch.setenv("PYANI_TPU_PAIR_WORKERS", "1")  # pin the serial path
     calls = []
 
     def fn(q, s):
@@ -98,6 +100,29 @@ def test_run_pairwise_interrupt_keeps_completed_rows() -> None:
     rows = run_pairwise(ctx, fn)
     assert ctx.interrupted
     assert len(rows) == 2
+
+
+def test_run_pairwise_default_pool_is_available_cores(monkeypatch) -> None:
+    """Host pair-parallelism defaults ON, sized to the host's cores (the
+    reference's local executor runs `--cores all`); =1 opts back out."""
+    import pyani_plus_tpu.utils as utils
+
+    monkeypatch.delenv("PYANI_TPU_PAIR_WORKERS", raising=False)
+    monkeypatch.setattr(utils, "available_cores", lambda: 3)
+    pairs = [(f"g{i}", f"g{j}") for i in range(3) for j in range(3)]
+    threads = set()
+
+    def fn(q, s):
+        import threading
+
+        threads.add(threading.current_thread().name)
+        return {"identity": 0.25}
+
+    ctx = _ctx(pairs)
+    rows = run_pairwise(ctx, fn)
+    assert {(r["query_hash"], r["subject_hash"]) for r in rows} == set(pairs)
+    # the pool path ran (worker threads, not the calling thread only)
+    assert any("ThreadPoolExecutor" in name for name in threads)
 
 
 def test_run_pairwise_thread_pool_matches_sequential(monkeypatch) -> None:
