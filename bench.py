@@ -173,12 +173,21 @@ def bench_alignment_methods(rng) -> dict:
     md5_r = "b" * 32
     md5_q = "a" * 32
     md5_q2 = "c" * 32
+    md5_q3 = "d" * 32
     genomes = {
         md5_r: _genome_from_codes(base, md5_r),
         md5_q: _genome_from_codes(mutate(base, 0.15, rng), md5_q),
         md5_q2: _genome_from_codes(mutate(base, 0.15, rng), md5_q2),
+        md5_q3: _genome_from_codes(mutate(base, 0.15, rng), md5_q3),
     }
     pair = (md5_q, md5_r)
+    # ANIb warm-up: the first pair pays the XLA compiles for the batched
+    # DP shapes (minutes-scale and wildly variable over the axon tunnel,
+    # measured separately as anib_compile_seconds); the timed figure
+    # below is the steady-state per-pair cost an all-vs-all run sees.
+    t0 = time.time()
+    _time_method("ANIb", genomes, (md5_q3, md5_r))
+    out["anib_compile_seconds"] = round(time.time() - t0, 1)
     for method, key in (
         ("ANIm", "anim_divergent_pair_seconds"),
         ("ANIb", "anib_divergent_pair_seconds"),
@@ -212,6 +221,155 @@ def bench_alignment_methods(rng) -> dict:
         out["dnadiff_divergent_pair_warm_seconds"] * 1e6 / 86400.0, 1
     )
     return out
+
+
+def bench_multihost_scaling() -> dict:
+    """Multi-host scaling curve: `launch -n K` over a synthetic all-vs-all.
+
+    Measures the REAL distributed runtime (jax.distributed process group,
+    host-0 pending broadcast, all-gather merge, private per-worker DBs)
+    on an ANIm workload whose per-pair cost dominates, for K in {1, 2, 4}
+    processes. Spawn/import/init overhead is measured separately with a
+    `--version` no-op launch and subtracted, so the efficiency figure
+    reflects the compute+merge path, not interpreter startup. On this
+    2-core benchmark host K=4 is oversubscribed by construction --
+    `scaling_host_cores` records that; the BASELINE >=80% bar applies at
+    K <= cores (the reference analogue is Snakemake column scale-out,
+    workflows/__init__.py:155-171).
+    """
+    import shutil
+    import tempfile
+
+    from pyani_plus_tpu.parallel.distributed import launch_local
+
+    n = int(os.environ.get("BENCH_SCALING_N", "12"))
+    length = int(os.environ.get("BENCH_SCALING_LEN", "20000"))
+    rng = np.random.default_rng(7)
+    ancestors = [
+        rng.integers(0, 4, length, dtype=np.uint8) for _ in range(2)
+    ]
+    bases = np.array(list("ACGT"))
+    tmp = Path(tempfile.mkdtemp(prefix="pyani_scaling_"))
+    out: dict = {}
+    try:
+        fasta_dir = tmp / "genomes"
+        fasta_dir.mkdir()
+        for i in range(n):
+            codes = ancestors[i % len(ancestors)].copy()
+            rate = 0.02 + 0.06 * (i / n)
+            mut = rng.random(length) < rate
+            codes[mut] = (
+                codes[mut] + rng.integers(1, 4, int(mut.sum()))
+            ) % 4
+            seq = "".join(bases[codes])
+            with (fasta_dir / f"g{i:03d}.fasta").open("w") as fh:
+                fh.write(f">g{i:03d}\n")
+                for lo in range(0, length, 60):
+                    fh.write(seq[lo : lo + 60] + "\n")
+
+        os.environ["PYANI_TPU_PLATFORM"] = "cpu"  # workers: host CPU path
+        os.environ["PYANI_TPU_PAIR_WORKERS"] = "1"  # 1 pair at a time
+        # one core per process: the scheduler (launch) owns parallelism,
+        # so within-pair pools must not oversubscribe the host
+        os.environ["PYANI_TPU_INTRA_WORKERS"] = "1"
+        walls: dict[int, float] = {}
+        starts: dict[int, float] = {}
+        for k in (1, 2, 4):
+            t0 = time.time()
+            assert launch_local(k, ["--version"], timeout=120, quiet=True) == 0
+            starts[k] = time.time() - t0
+            run_dir = tmp / f"run{k}"
+            run_dir.mkdir()
+            t0 = time.time()
+            code = launch_local(
+                k,
+                [
+                    "anim",
+                    str(fasta_dir),
+                    "-d",
+                    str(run_dir / "ani_{rank}.db"),
+                    "--create-db",
+                ],
+                timeout=1800,
+                quiet=True,
+            )
+            walls[k] = time.time() - t0
+            assert code == 0, f"scaling run K={k} failed"
+            # host 0's store must hold the complete merged run
+            from pyani_plus_tpu.db import Database
+
+            with Database(run_dir / "ani_0.db") as db:
+                (run,) = db.list_runs()
+                assert run.status == "Done"
+                assert run.comparisons_count() == n * n
+        pairs = n * n
+        compute1 = walls[1] - starts[1]
+        out["scaling_n_processes"] = [1, 2, 4]
+        out["scaling_pairs_per_sec"] = [
+            round(pairs / walls[k], 1) for k in (1, 2, 4)
+        ]
+        out["scaling_wall_seconds"] = [round(walls[k], 1) for k in (1, 2, 4)]
+        out["scaling_startup_seconds"] = [
+            round(starts[k], 1) for k in (1, 2, 4)
+        ]
+        for k in (2, 4):
+            out[f"scaling_efficiency_n{k}"] = round(
+                compute1 / (k * (walls[k] - starts[k])), 2
+            )
+        out["scaling_host_cores"] = os.cpu_count()
+        # headline efficiency at the largest K the host's cores cover
+        k_eff = 4 if (os.cpu_count() or 2) >= 4 else 2
+        out["scaling_efficiency"] = out[f"scaling_efficiency_n{k_eff}"]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def warm_only() -> None:
+    """Compile the device shape ladder and exit (process warm-pool mode).
+
+    A production recipe for the axon tunnel's uncached service-side
+    compiles: run `python bench.py --warm-only` once per worker process
+    pool; afterwards every fresh dispatch in this process hits the jit
+    cache, and the time-to-first-useful-dispatch is seconds. Prints one
+    JSON line with the per-stage compile seconds.
+    """
+    out: dict = {"mode": "warm-only"}
+    rng = np.random.default_rng(0)
+
+    t0 = time.time()
+    from pyani_plus_tpu.ops.minhash import Sketch, intersection_matrix_device
+
+    sketches = [
+        Sketch("w", 31, 1000, np.sort(rng.integers(0, 2**63, 200).astype(np.uint64)))
+        for _ in range(64)
+    ]
+    intersection_matrix_device(sketches)
+    out["warm_gram_seconds"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    from pyani_plus_tpu.ops.extend_pallas import _is_tpu_backend, batch_extend_pallas
+
+    if _is_tpu_backend():
+        tasks = []
+        for m in (1200, 3400, 10000):  # one per M_COLS bucket
+            a = rng.integers(0, 4, m).astype(np.uint8)
+            b = mutate(a, 0.1, rng)
+            tasks.append((a, b))
+        batch_extend_pallas(tasks, stop_rows=600)
+        out["warm_extend_seconds"] = round(time.time() - t0, 1)
+
+        t0 = time.time()
+        from pyani_plus_tpu.methods.anib import DEVICE_BATCH
+        from pyani_plus_tpu.ops.dp_jax import PAD_CODE, batch_local_align_scores
+
+        q = np.full((DEVICE_BATCH, 1024), PAD_CODE, np.uint8)
+        s = np.full((DEVICE_BATCH, 2048), PAD_CODE, np.uint8)
+        q[:, :512] = rng.integers(0, 4, (DEVICE_BATCH, 512), dtype=np.uint8)
+        s[:, :512] = q[:, :512]
+        np.asarray(batch_local_align_scores(q, s))
+        out["warm_anib_dp_seconds"] = round(time.time() - t0, 1)
+    print(json.dumps(out))
 
 
 def main() -> None:
@@ -344,8 +502,13 @@ def main() -> None:
         )
     if os.environ.get("BENCH_METHODS", "1") != "0":
         result.update(bench_alignment_methods(np.random.default_rng(9)))
+    if os.environ.get("BENCH_SCALING", "1") != "0":
+        result.update(bench_multihost_scaling())
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    if "--warm-only" in sys.argv:
+        warm_only()
+    else:
+        main()

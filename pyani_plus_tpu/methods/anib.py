@@ -316,7 +316,9 @@ def _score_host(pairs: list[tuple[np.ndarray, np.ndarray]]) -> list[int]:
             score = 0 if stats is None else stats.score
         return int(score)
 
-    workers = min(8, os.cpu_count() or 1)
+    from pyani_plus_tpu.utils import intra_pair_workers
+
+    workers = intra_pair_workers()
     if workers > 1 and len(pairs) > 32:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -342,19 +344,21 @@ def use_device() -> bool:
         return False
 
 
-def _score_device(pairs: list[tuple[np.ndarray, np.ndarray]]) -> list[int]:
-    """Score all candidate (fragment, window) pairs in padded device batches.
+def _score_device_submit(pairs: list[tuple[np.ndarray, np.ndarray]]):
+    """Enqueue padded device batches for all candidate pairs (async).
 
     Pairs bucket by window length (next power of two, >=1024) so the jit
     kernel compiles for a handful of static (B, M, N) shapes; each bucket
     fills fixed-size batches of DEVICE_BATCH rows padded with PAD_CODE
     (never matches, so padding cannot change a local-alignment score --
     parity with the host scorer is tested). Oversized windows score on
-    host.
+    host. Dispatch is async: the returned state holds in-flight device
+    arrays, so host work (candidate seeding for the next group, winner
+    stats for the previous one) overlaps device compute; collect with
+    :func:`_score_device_collect`.
     """
     from pyani_plus_tpu.ops.dp_jax import PAD_CODE, batch_local_align_scores
 
-    scores = [0] * len(pairs)
     frag_m = max(f.size for f, _w in pairs)
     m = ((frag_m + 255) // 256) * 256
     buckets: dict[int, list[int]] = {}
@@ -367,9 +371,6 @@ def _score_device(pairs: list[tuple[np.ndarray, np.ndarray]]) -> list[int]:
             host_idx.append(i)
         else:
             buckets.setdefault(n, []).append(i)
-    # Enqueue every batch before collecting any result: dispatch is
-    # async, so the per-dispatch round trip (0.6 s over the axon tunnel)
-    # overlaps across batches instead of serialising.
     inflight: list[tuple[list[int], object]] = []
     for n, idxs in sorted(buckets.items()):
         for lo in range(0, len(idxs), DEVICE_BATCH):
@@ -381,6 +382,13 @@ def _score_device(pairs: list[tuple[np.ndarray, np.ndarray]]) -> list[int]:
                 q[row, : frag.size] = frag
                 s[row, : window.size] = window
             inflight.append((chunk, batch_local_align_scores(q, s)))
+    return pairs, inflight, host_idx
+
+
+def _score_device_collect(state) -> list[int]:
+    """Block on the in-flight batches and return per-pair scores."""
+    pairs, inflight, host_idx = state
+    scores = [0] * len(pairs)
     for chunk, dev_out in inflight:
         out = np.asarray(dev_out)
         for row, i in enumerate(chunk):
@@ -389,6 +397,11 @@ def _score_device(pairs: list[tuple[np.ndarray, np.ndarray]]) -> list[int]:
         for i, sc in zip(host_idx, _score_host([pairs[i] for i in host_idx])):
             scores[i] = sc
     return scores
+
+
+def _score_device(pairs: list[tuple[np.ndarray, np.ndarray]]) -> list[int]:
+    """Score all candidate (fragment, window) pairs on device (blocking)."""
+    return _score_device_collect(_score_device_submit(pairs))
 
 
 def _best_stats(
@@ -510,7 +523,9 @@ def _pair_finalize(
             per_frag_scores.append(flat_scores[start : start + count])
         else:
             per_frag_scores.append(None)
-    workers = min(8, os.cpu_count() or 1)
+    from pyani_plus_tpu.utils import intra_pair_workers
+
+    workers = intra_pair_workers()
     if workers > 1 and len(frags) > 8:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -567,11 +582,47 @@ def _compute_all(ctx, rows, subjects, fragsize):
     # accelerator, score tasks from groups of queries pool into SHARED
     # device batches (one dispatch pipeline per group per column, not
     # per pair), so partially-filled final batches and per-dispatch
-    # round trips amortise across pairs (VERDICT r2 item 3).
+    # round trips amortise across pairs (VERDICT r2 item 3). The loop
+    # runs a one-group lookahead pipeline: group g's device batches are
+    # enqueued (async dispatch), then group g-1's host stages (winner
+    # stats DP, accept/accumulate) run WHILE the device crunches, so
+    # per-pair wall time is ~max(host, device) instead of their sum.
     group_env = os.environ.get("PYANI_TPU_ANIB_GROUP")
-    group_size = (
-        int(group_env) if group_env else (8 if use_device() else 1)
-    )
+    on_device = use_device()
+    group_size = int(group_env) if group_env else (8 if on_device else 1)
+
+    def finalize_group(subject, batch, tasks, offsets, pooled_scores):
+        for query_hash, (frags, per_frag, flat, spans), off in zip(
+            batch, tasks, offsets
+        ):
+            query = ctx.genomes[query_hash]
+            identity, aln_length, sim_errors = _pair_finalize(
+                query,
+                subject,
+                frags,
+                per_frag,
+                spans,
+                pooled_scores[off : off + len(flat)],
+            )
+            rows.append(
+                {
+                    "query_hash": query_hash,
+                    "subject_hash": subject.md5,
+                    "identity": identity,
+                    "aln_length": aln_length,
+                    "sim_errors": sim_errors,
+                    "cov_query": None
+                    if aln_length is None
+                    else aln_length / query.length,
+                    "cov_subject": None
+                    if aln_length is None
+                    else aln_length / subject.length,
+                }
+            )
+            ctx.tick()
+            ctx.maybe_flush(rows)
+
+    pending_fin = None  # (subject, batch, tasks, offsets, score_state)
     for subject_hash in subjects:
         subject = ctx.genomes[subject_hash]
         seed_indexes = [SeedIndex(rec.codes) for rec in subject.records]
@@ -587,37 +638,27 @@ def _compute_all(ctx, rows, subjects, fragsize):
             for _frags, _per_frag, flat, _spans in tasks:
                 offsets.append(len(pooled))
                 pooled.extend(flat)
-            pooled_scores = (
-                (_score_device(pooled) if use_device() else _score_host(pooled))
-                if pooled
-                else []
-            )
-            for query_hash, (frags, per_frag, flat, spans), off in zip(
-                batch, tasks, offsets
-            ):
-                query = ctx.genomes[query_hash]
-                identity, aln_length, sim_errors = _pair_finalize(
-                    query,
-                    subject,
-                    frags,
-                    per_frag,
-                    spans,
-                    pooled_scores[off : off + len(flat)],
-                )
-                rows.append(
-                    {
-                        "query_hash": query_hash,
-                        "subject_hash": subject_hash,
-                        "identity": identity,
-                        "aln_length": aln_length,
-                        "sim_errors": sim_errors,
-                        "cov_query": None
-                        if aln_length is None
-                        else aln_length / query.length,
-                        "cov_subject": None
-                        if aln_length is None
-                        else aln_length / subject.length,
-                    }
-                )
-                ctx.tick()
-                ctx.maybe_flush(rows)
+            if on_device and pooled:
+                state = _score_device_submit(pooled)
+                if pending_fin is not None:
+                    p_subj, p_batch, p_tasks, p_off, p_state = pending_fin
+                    finalize_group(
+                        p_subj, p_batch, p_tasks, p_off,
+                        _score_device_collect(p_state),
+                    )
+                pending_fin = (subject, batch, tasks, offsets, state)
+            else:
+                if pending_fin is not None:
+                    p_subj, p_batch, p_tasks, p_off, p_state = pending_fin
+                    finalize_group(
+                        p_subj, p_batch, p_tasks, p_off,
+                        _score_device_collect(p_state),
+                    )
+                    pending_fin = None
+                scores = _score_host(pooled) if pooled else []
+                finalize_group(subject, batch, tasks, offsets, scores)
+    if pending_fin is not None:
+        p_subj, p_batch, p_tasks, p_off, p_state = pending_fin
+        finalize_group(
+            p_subj, p_batch, p_tasks, p_off, _score_device_collect(p_state)
+        )

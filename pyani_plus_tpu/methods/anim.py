@@ -218,7 +218,9 @@ def _run_extensions(
     # The native band-DP kernel releases the GIL inside ctypes, so the
     # remaining extensions run thread-parallel across host cores;
     # results land at their task index, keeping order deterministic.
-    workers = min(8, os.cpu_count() or 1)
+    from pyani_plus_tpu.utils import intra_pair_workers
+
+    workers = intra_pair_workers()
     if workers > 1 and len(host_idx) > 4:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -305,14 +307,18 @@ def align_sequences(
             for idx in cluster_matches(r, q, ln)
         ]
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        per_strand = list(pool.map(_strand, (False, True)))
+    from pyani_plus_tpu.utils import intra_pair_workers
+
+    strand_workers = min(2, intra_pair_workers())
+    if strand_workers > 1:
+        with ThreadPoolExecutor(max_workers=strand_workers) as pool:
+            per_strand = list(pool.map(_strand, (False, True)))
+    else:
+        per_strand = [_strand(False), _strand(True)]
     strand_matches = {rev: per_strand[rev][0] for rev in (False, True)}
     clusters = [cl for _codes, cls in per_strand for cl in cls]
 
-    import os
-
-    workers = min(8, os.cpu_count() or 1)
+    workers = intra_pair_workers()
     if workers > 1 and len(clusters) > 4:
         with ThreadPoolExecutor(max_workers=workers) as pool:
             fills = list(

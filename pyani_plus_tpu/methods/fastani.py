@@ -102,10 +102,11 @@ def compute_pair(  # noqa: PLR0913
     # The native winnow + mapping kernels release the GIL inside ctypes,
     # so a thread pool parallelises fragments across host cores; results
     # are collected in fragment order, keeping everything deterministic.
-    import os
     from concurrent.futures import ThreadPoolExecutor
 
-    workers = min(8, os.cpu_count() or 1)
+    from pyani_plus_tpu.utils import intra_pair_workers
+
+    workers = intra_pair_workers()
     if workers > 1 and total > 4:
         with ThreadPoolExecutor(max_workers=workers) as pool:
             results = list(pool.map(_map_one, range(total)))

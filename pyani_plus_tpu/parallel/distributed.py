@@ -224,6 +224,7 @@ def launch_local(
     *,
     port: int | None = None,
     timeout: float | None = None,
+    quiet: bool = False,
 ) -> int:
     """Spawn ``num_processes`` copies of this CLI as one process group.
 
@@ -252,10 +253,15 @@ def launch_local(
         # --database run_{rank}.db demonstrates that no shared store is
         # needed: results merge through the collective, host 0 persists)
         worker_argv = [a.replace("{rank}", str(pid)) for a in argv]
+        # quiet=True silences worker progress output (benchmark drivers
+        # need the parent's stdout to stay a single JSON line)
+        sink = subprocess.DEVNULL if quiet else None
         procs.append(
             subprocess.Popen(
                 [sys.executable, "-m", "pyani_plus_tpu.cli.main", *worker_argv],
                 env=env,
+                stdout=sink,
+                stderr=sink,
             )
         )
     worst = 0

@@ -124,6 +124,21 @@ def available_cores() -> int:
         return cpus
 
 
+def intra_pair_workers(cap: int = 8) -> int:
+    """Thread-pool width for WITHIN-pair stages (extensions, cluster DPs,
+    candidate scoring).
+
+    Defaults to the host's cores (capped); ``PYANI_TPU_INTRA_WORKERS``
+    overrides -- set it to 1 when an external scheduler (SLURM, the
+    `launch` fan-out, the scaling benchmark) already assigns one process
+    per core, the same role OMP_NUM_THREADS plays for OpenMP tools.
+    """
+    env = os.environ.get("PYANI_TPU_INTRA_WORKERS")
+    if env is not None:
+        return max(1, int(env))
+    return max(1, min(cap, available_cores()))
+
+
 def check_db(logger: logging.Logger, database: Path | str, create_db: bool) -> None:  # noqa: FBT001
     """Check the database exists, or that --create-db was passed."""
     logger.debug("Checking DB argument '%s'", database)

@@ -133,3 +133,47 @@ def test_group_pooled_scoring_matches_per_pair(viral, monkeypatch) -> None:
         }
 
     assert run("3") == run("1")
+
+
+def test_device_pipeline_matches_host_path(viral, monkeypatch) -> None:
+    """The one-group-lookahead device pipeline (submit group g, finalize
+    group g-1 while the device crunches) returns exactly the serial host
+    path's rows -- forced onto the CPU backend via PYANI_TPU_ANIB_DEVICE."""
+    import logging
+
+    from pyani_plus_tpu.methods import ComputeContext, anib
+
+    genomes = {
+        g.md5: g
+        for g in (
+            load_genome(p)
+            for ext in (".fas", ".fna", ".fasta")
+            for p in sorted(viral.glob(f"*{ext}"))
+        )
+    }
+
+    def run(device, group):
+        monkeypatch.setenv("PYANI_TPU_ANIB_DEVICE", device)
+        monkeypatch.setenv("PYANI_TPU_ANIB_GROUP", group)
+        hashes = sorted(genomes)
+        ctx = ComputeContext(
+            logger=logging.getLogger("t"),
+            genomes=genomes,
+            query_hashes=hashes,
+            subject_hashes=hashes,
+            pending={(q, s) for q in hashes for s in hashes},
+            config=anib.configuration(),
+        )
+        rows = anib.compute(ctx)
+        assert len(rows) == len(hashes) ** 2
+        return {
+            (r["query_hash"], r["subject_hash"]): (
+                r["identity"], r["aln_length"], r["sim_errors"],
+                r["cov_query"], r["cov_subject"],
+            )
+            for r in rows
+        }
+
+    # group=2 exercises the cross-group pipeline (several groups per
+    # subject column) including the trailing-group drain
+    assert run("1", "2") == run("0", "1")

@@ -37,7 +37,7 @@ METHODS = {
     "anim": ("ANIm", [], 2e-8, True),
     "dnadiff": ("dnadiff", [], 1e-4, False),
     "anib": ("ANIb", [], 2e-8, True),
-    "animinimap2": ("ANIminimap2", [], 2e-8, False),
+    "animinimap2": ("ANIminimap2", [], 2e-8, True),
     "fastani": ("fastANI", [], 7e-4, False),
     "skani": ("skani", [], 4e-3, False),
 }
@@ -69,16 +69,18 @@ def test_cli_run_export_resume(command, tmp_path) -> None:
     expected = _read(VIRAL / "matrices" / f"{method}_identity.tsv")
     assert np.nanmax(np.abs(got.values - expected.values)) <= atol, method
     if exact_ints:
-        for ours, theirs in (
-            (f"{method}_aln_lengths.tsv", f"{method}_aln_lengths.tsv"),
-            (f"{method}_sim_errors.tsv", f"{method}_sim_errors.tsv"),
-        ):
-            g = _read(outdir / ours)
-            e = _read(VIRAL / "matrices" / theirs)
+        # compare every integer matrix the fixture set provides (the
+        # ANIminimap2 fixtures carry aln_lengths but no sim_errors)
+        for name in ("aln_lengths", "sim_errors"):
+            fixture = VIRAL / "matrices" / f"{method}_{name}.tsv"
+            if not fixture.is_file():
+                continue
+            g = _read(outdir / f"{method}_{name}.tsv")
+            e = _read(fixture)
             assert np.array_equal(
                 np.nan_to_num(g.values, nan=-1),
                 np.nan_to_num(e.values, nan=-1),
-            ), ours
+            ), name
     elif command == "dnadiff":
         # The dnadiff identity fixture carries the external tool's
         # ROUNDED report values (hence the 1e-4 identity gate above),
@@ -108,6 +110,42 @@ def test_cli_run_export_resume(command, tmp_path) -> None:
         run = db.load_run()
         assert run.comparisons_count() == 9
         assert run.status == "Done"
+
+
+BACTERIAL = Path("/root/reference/tests/fixtures/bacterial_example")
+
+# method -> (cli args, identity atol): the tightest tolerance each
+# method has demonstrated on the bacterial set (README parity table;
+# the reference's snakemake tests compare bacterial matrices for the
+# fast methods the same way, tests/snakemake/__init__.py:83-166)
+BACTERIAL_METHODS = {
+    "sourmash": (["--scaled", "1000"], 2e-8),
+    "fastani": ([], 2.1e-3),
+    "skani": ([], 1.2e-3),
+    "animinimap2": ([], 7e-4),
+}
+
+
+@pytest.mark.skipif(not BACTERIAL.is_dir(), reason="fixtures missing")
+@pytest.mark.parametrize("command", sorted(BACTERIAL_METHODS))
+def test_cli_bacterial_fast_methods(command, tmp_path) -> None:
+    """Fast methods e2e on the gzipped bacterial set vs fixture matrices."""
+    extra, atol = BACTERIAL_METHODS[command]
+    method = {"fastani": "fastANI", "animinimap2": "ANIminimap2"}.get(
+        command, command
+    )
+    db_path = tmp_path / "ani.db"
+    outdir = tmp_path / "out"
+    outdir.mkdir()
+    _run_cli(
+        [command, str(BACTERIAL), "-d", str(db_path), "--create-db", *extra]
+    )
+    _run_cli(
+        ["export-run", "-d", str(db_path), "-o", str(outdir), "--label", "stem"]
+    )
+    got = _read(outdir / f"{method}_identity.tsv")
+    expected = _read(BACTERIAL / "matrices" / f"{method}_identity.tsv")
+    assert np.nanmax(np.abs(got.values - expected.values)) <= atol, method
 
 
 def test_cli_external_alignment_run_and_resume(tmp_path) -> None:
