@@ -106,8 +106,9 @@ def _genome_from_codes(codes: np.ndarray, name: str):
     )
 
 
-def _time_method(method_name: str, genomes: dict, pair) -> float:
-    """Wall seconds for one directed comparison via the method driver."""
+def _time_method(method_name: str, genomes: dict, *pairs) -> float:
+    """Wall seconds for the given directed comparisons via the method
+    driver (one compute call; per-pair = result / len(pairs))."""
     import logging
 
     from pyani_plus_tpu.methods import ComputeContext, get_method
@@ -118,12 +119,12 @@ def _time_method(method_name: str, genomes: dict, pair) -> float:
         genomes=genomes,
         query_hashes=sorted(genomes),
         subject_hashes=sorted(genomes),
-        pending={pair},
+        pending=set(pairs),
         config=module.configuration(),
     )
     t0 = time.time()
     rows = module.compute(ctx)
-    assert rows, method_name
+    assert len(rows) == len(pairs), method_name
     return time.time() - t0
 
 
@@ -196,29 +197,34 @@ def bench_alignment_methods(rng) -> dict:
         ("ANIminimap2", "animinimap2_divergent_pair_seconds"),
     ):
         out[key] = round(_time_method(method, genomes, pair), 2)
-    # N=1000 all-vs-all projection (10^6 pairs) for the slowest method:
-    # the honest wall-clock statement of BASELINE config 5 feasibility.
-    out["anib_projected_days_n1000"] = round(
-        out["anib_divergent_pair_seconds"] * 1e6 / 86400.0, 1
-    )
+    # N=1000 all-vs-all projections (10^6 pairs): the honest wall-clock
+    # statement of BASELINE config 5 feasibility (per-method projections
+    # for ANIm/dnadiff/ANIb use the column-amortised figures below).
     out["animinimap2_projected_days_n1000"] = round(
         out["animinimap2_divergent_pair_seconds"] * 1e6 / 86400.0, 1
     )
-    # Warm-subject (column-amortised) cost: the cached subject suffix
-    # automaton is reused, so this is the marginal per-pair cost of an
-    # all-vs-all column (ops/suffix.SeedIndexCache).
+    # Warm-subject, column-amortised cost: the cached subject suffix
+    # automaton / seed index is reused and THREE queries run through one
+    # compute() call, so per-pair device dispatches and host stages
+    # overlap exactly as they do down a production all-vs-all column
+    # (pair thread pool + the ANIb group pipeline). Projections use
+    # these figures -- the realistic cost model is one cold indexing per
+    # column followed by warm overlapped pairs.
+    column = [(md5_q, md5_r), (md5_q2, md5_r), (md5_q3, md5_r)]
     for method, key in (
-        ("ANIm", "anim_divergent_pair_warm_seconds"),
-        ("dnadiff", "dnadiff_divergent_pair_warm_seconds"),
+        ("ANIm", "anim_column_pair_seconds"),
+        ("dnadiff", "dnadiff_column_pair_seconds"),
+        ("ANIb", "anib_column_pair_seconds"),
     ):
-        out[key] = round(_time_method(method, genomes, (md5_q2, md5_r)), 2)
-    # Warm-subject projection: the realistic all-vs-all cost model (one
-    # cold indexing per column, warm pairs after)
+        out[key] = round(_time_method(method, genomes, *column) / 3, 2)
     out["anim_projected_days_n1000"] = round(
-        out["anim_divergent_pair_warm_seconds"] * 1e6 / 86400.0, 1
+        out["anim_column_pair_seconds"] * 1e6 / 86400.0, 1
     )
     out["dnadiff_projected_days_n1000"] = round(
-        out["dnadiff_divergent_pair_warm_seconds"] * 1e6 / 86400.0, 1
+        out["dnadiff_column_pair_seconds"] * 1e6 / 86400.0, 1
+    )
+    out["anib_projected_days_n1000"] = round(
+        out["anib_column_pair_seconds"] * 1e6 / 86400.0, 1
     )
     return out
 

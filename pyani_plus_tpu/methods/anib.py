@@ -371,6 +371,20 @@ def _score_device_submit(pairs: list[tuple[np.ndarray, np.ndarray]]):
             host_idx.append(i)
         else:
             buckets.setdefault(n, []).append(i)
+    # PYANI_TPU_ANIB_PALLAS=1 routes fitting buckets through the Pallas
+    # in-kernel-row-loop scorer (ops/sw_pallas.py). Measured equal to
+    # the lax.scan kernel over the remote axon tunnel (both RTT-bound at
+    # ~0.1 s per warm 512-lane dispatch, scores identical); it is the
+    # candidate path for a locally-attached TPU where dispatch latency
+    # stops masking kernel time.
+    use_pallas = os.environ.get("PYANI_TPU_ANIB_PALLAS") == "1"
+    if use_pallas:
+        from pyani_plus_tpu.ops.sw_pallas import (
+            N_COLS,
+            batch_sw_scores_pallas,
+            pallas_sw_supported,
+        )
+
     inflight: list[tuple[list[int], object]] = []
     for n, idxs in sorted(buckets.items()):
         for lo in range(0, len(idxs), DEVICE_BATCH):
@@ -381,7 +395,10 @@ def _score_device_submit(pairs: list[tuple[np.ndarray, np.ndarray]]):
                 frag, window = pairs[i]
                 q[row, : frag.size] = frag
                 s[row, : window.size] = window
-            inflight.append((chunk, batch_local_align_scores(q, s)))
+            if use_pallas and pallas_sw_supported(m, n):
+                inflight.append((chunk, batch_sw_scores_pallas(q, s)))
+            else:
+                inflight.append((chunk, batch_local_align_scores(q, s)))
     return pairs, inflight, host_idx
 
 

@@ -25,8 +25,13 @@
 #include <cstring>
 #include <vector>
 
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#endif
+
 namespace {
 constexpr int32_t NEG = -1000000;
+constexpr int KEY_SHIFT = 24;  // low bits hold the column (origin) index
 
 // Reused per-thread scratch: the stats DP touches ~5 MB of case/origin
 // cells per fragment; reallocating (and page-faulting) that per call
@@ -34,10 +39,73 @@ constexpr int32_t NEG = -1000000;
 struct Scratch {
   std::vector<int32_t> h_prev, f_prev, g_row, d_row, f_row, s32;
   std::vector<int32_t> e_row, eo_row;
+  std::vector<int64_t> keys;
   std::vector<uint8_t> cases;
   std::vector<int32_t> origin, forig;
 };
 thread_local Scratch scratch;
+
+// Within-row E chain with origins: e_row[j] (j >= 2) is the best
+// gap-open value max_{j'<j}(g[j'] - go - ge*(j-j')) and eo_row[j] the
+// LARGEST j' achieving it (shortest-gap tie rule). Equivalent to a
+// prefix max over keys (a[j'] << KEY_SHIFT) | j' with a = g + ge*j'
+// (j' in the low bits makes the later column win value ties exactly);
+// AVX-512 computes it as an in-register log-step inclusive scan, the
+// scalar recurrence is the fallback and the semantics oracle.
+void _e_chain_pass(const int32_t *__restrict__ g_row,
+                   int32_t *__restrict__ e_row, int32_t *__restrict__ eo_row,
+                   int64_t n, int32_t go_ge, int32_t ge, int32_t gap_open) {
+  if (n < 1) return;
+  e_row[1] = NEG;
+  eo_row[1] = 0;
+#if defined(__AVX512F__)
+  if (n < ((int64_t)1 << KEY_SHIFT)) {
+    std::vector<int64_t> &buf = scratch.keys;
+    if ((int64_t)buf.size() < n + 1) buf.resize(n + 1);
+    int64_t *__restrict__ key = buf.data();
+    for (int64_t j = 1; j <= n; j++)
+      key[j] = (((int64_t)g_row[j] + (int64_t)ge * j) << KEY_SHIFT) | j;
+    const __m512i vmin = _mm512_set1_epi64(INT64_MIN);
+    const __m512i last = _mm512_set1_epi64(7);
+    __m512i carry = vmin;
+    int64_t j = 1;
+    for (; j + 7 <= n; j += 8) {
+      __m512i v = _mm512_loadu_si512((const void *)(key + j));
+      v = _mm512_max_epi64(v, _mm512_alignr_epi64(v, vmin, 7));
+      v = _mm512_max_epi64(v, _mm512_alignr_epi64(v, vmin, 6));
+      v = _mm512_max_epi64(v, _mm512_alignr_epi64(v, vmin, 4));
+      v = _mm512_max_epi64(v, carry);
+      _mm512_storeu_si512((void *)(key + j), v);
+      carry = _mm512_permutexvar_epi64(last, v);
+    }
+    int64_t run = j > 1 ? key[j - 1] : INT64_MIN;
+    for (; j <= n; j++) {
+      const int64_t k = key[j];
+      key[j] = k > run ? k : run;
+      run = key[j];
+    }
+    const int64_t mask = ((int64_t)1 << KEY_SHIFT) - 1;
+    for (int64_t t = 2; t <= n; t++) {
+      const int64_t p = key[t - 1];
+      e_row[t] =
+          (int32_t)(p >> KEY_SHIFT) - gap_open - (int32_t)((int64_t)ge * t);
+      eo_row[t] = (int32_t)(p & mask);
+    }
+    return;
+  }
+#endif
+  int32_t e_run = NEG;
+  int32_t e_orig = 0;
+  for (int64_t j = 1; j <= n; j++) {
+    e_row[j] = e_run;
+    eo_row[j] = e_orig;
+    const int32_t cand = g_row[j] - go_ge;
+    const int32_t decayed = e_run - ge;
+    const bool re = cand >= decayed;
+    e_run = re ? cand : decayed;
+    e_orig = re ? (int32_t)j : e_orig;
+  }
+}
 }  // namespace
 
 extern "C" {
@@ -105,21 +173,14 @@ int local_align_stats(const uint8_t *q, int64_t m, const uint8_t *s,
       d_row[j] = diag;
       g_row[j] = g;
     }
-    // Pass 2 (serial, minimal): the within-row E chain with its origin;
-    // shortest-gap rule: reopening at this column wins running ties.
-    {
-      int32_t e_run = NEG;
-      int32_t e_orig = 0;
-      for (int64_t j = 1; j <= n; j++) {
-        e_row[j] = e_run;
-        eo_row[j] = e_orig;
-        const int32_t cand = g_row[j] - go_ge;
-        const int32_t carry = e_run - ge;
-        const bool re = cand >= carry;
-        e_run = re ? cand : carry;
-        e_orig = re ? (int32_t)j : e_orig;
-      }
-    }
+    // Pass 2: the within-row E chain with its origin; shortest-gap
+    // rule: reopening at this column wins running ties. The chain is a
+    // prefix max over keys (a[j'] << KEY_SHIFT) | j' with
+    // a[j'] = g[j'] + ge*j' (j' in the low bits makes larger-j' win
+    // exact-value ties automatically, which IS the shortest-gap rule),
+    // so it vectorises as an in-register AVX-512 log-step scan; the
+    // scalar recurrence is the fallback and the semantics oracle.
+    _e_chain_pass(g_row, e_row, eo_row, n, go_ge, ge, gap_open);
     // Pass 3 (vectorisable): H + traceback decisions, resolved now:
     // priority diag > E > F, stop at h <= 0 (matches the matrix-walk's
     // `while H > 0` + equality order in ops/dp.py local_align_stats).
