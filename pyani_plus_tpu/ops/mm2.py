@@ -47,9 +47,21 @@ mapq: the reference parser only drops rows with mapq == 0
 (animinimap2.py:99-101); the formula in _mapq reproduces both viral
 fixture datapoints exactly.
 
-Parity status: all 9 viral PAFs bit-identical; bacterial self pairs and
-the two 99.66% cross pairs bit-exact (identity to 1 ulp, aln integer-
-exact); the ~11-15% no-homology pairs within 7e-4 identity / 0.9% aln.
+Parity status: exact (homologous), bounded (null). All 9 viral PAFs
+bit-identical; bacterial self pairs and the two 99.66% cross pairs
+bit-exact (identity to 1 ulp, aln integer-exact). The ~11-15%-identity
+NO-HOMOLOGY bacterial pairs (spurious asm20 chains over unrelated
+genomes) carry a measured residual cap of 6.6e-4 identity / 0.78% aln
+(worst pair NC_014100 vs NC_002696; full table in the round-4 sweep,
+tests/test_animinimap2.py gates at 7e-4/0.9%). The deviation survives
+every kernel-semantic hypothesis the matrix-only oracle can test:
+pri_mode variants, inner-scan distance, max_gap/min_sc/size_cap sweeps,
+and the RMQ_FLAGS micro-semantics (dq<=0 rejection, always-inner-scan,
+open window bound) are all no-ops or worse on every fixture pair, so
+the residue sits in minimap2's dynamic-tree eviction/skip order on
+sparse junk anchors -- unobservable from its outputs on these fixtures,
+and numerically irrelevant downstream (the pairs are reported as
+no-homology either way).
 """
 
 from __future__ import annotations
