@@ -129,6 +129,17 @@ def run_pairwise(ctx: ComputeContext, fn: Callable[[str, str], dict]) -> list[di
     if workers > 1 and len(pairs) > 1:
         from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 
+        # Budget the WITHIN-pair pools by the pair-pool width so K
+        # concurrent pairs don't oversubscribe the host (each pair's
+        # extension/scoring pools read this at call time); an explicit
+        # PYANI_TPU_INTRA_WORKERS is always respected.
+        from pyani_plus_tpu.utils import available_cores
+
+        budget_set = "PYANI_TPU_INTRA_WORKERS" not in os.environ
+        if budget_set:
+            os.environ["PYANI_TPU_INTRA_WORKERS"] = str(
+                max(1, available_cores() // workers)
+            )
         pool = ThreadPoolExecutor(max_workers=workers)
         try:
             futures = {
@@ -150,8 +161,12 @@ def run_pairwise(ctx: ComputeContext, fn: Callable[[str, str], dict]) -> list[di
                 "Interrupted with %d completed comparisons", len(rows)
             )
             pool.shutdown(wait=False, cancel_futures=True)
+            if budget_set:
+                os.environ.pop("PYANI_TPU_INTRA_WORKERS", None)
             return rows
         pool.shutdown()
+        if budget_set:
+            os.environ.pop("PYANI_TPU_INTRA_WORKERS", None)
         return rows
     try:
         for query_hash, subject_hash in pairs:

@@ -174,3 +174,67 @@ def test_version_flag() -> None:
     result = CliRunner().invoke(app, ["--version"], catch_exceptions=False)
     assert result.exit_code == 0
     assert __version__ in result.output
+
+
+BAD = Path("/root/reference/tests/fixtures/bad_alignments")
+
+
+def test_plot_run_unknown_run_id_errors(done_db, tmp_path) -> None:
+    result = CliRunner().invoke(
+        app,
+        ["plot-run", "-d", str(done_db), "-o", str(tmp_path),
+         "--run-id", "999"],
+    )
+    assert result.exit_code != 0
+
+
+def test_plot_run_empty_db_errors(tmp_path) -> None:
+    """plot-run on a database with no runs fails cleanly (no traceback
+    dump to the user -- the reference's log_sys_exit contract)."""
+    db_path = tmp_path / "empty.sqlite"
+    Database(db_path, create=True).close()
+    result = CliRunner().invoke(
+        app, ["plot-run", "-d", str(db_path), "-o", str(tmp_path)]
+    )
+    assert result.exit_code != 0
+
+
+def test_classify_unknown_run_id_errors(done_db, tmp_path) -> None:
+    result = CliRunner().invoke(
+        app,
+        ["classify", "-d", str(done_db), "-o", str(tmp_path),
+         "--run-id", "999"],
+    )
+    assert result.exit_code != 0
+
+
+@pytest.mark.skipif(not BAD.is_dir(), reason="fixtures missing")
+def test_classify_all_null_run_yields_singletons(tmp_path) -> None:
+    """classify over a run whose comparisons are all NULL (the
+    bad_alignments set under an alignment method): NaN scores produce no
+    edges, so the output degenerates to per-genome singletons -- the
+    NULL-propagation contract end-to-end (ref classify.py:102)."""
+    db_path = tmp_path / "null.sqlite"
+    runner = CliRunner()
+    result = runner.invoke(
+        app,
+        ["anim", str(BAD), "-d", str(db_path), "--create-db"],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    outdir = tmp_path / "cls"
+    result = runner.invoke(
+        app,
+        ["classify", "-d", str(db_path), "-o", str(outdir)],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    tsv = outdir / "ANIm_classify.tsv"
+    assert tsv.is_file()
+    rows = [
+        line.split("\t")
+        for line in tsv.read_text().splitlines()[1:]
+        if line.strip()
+    ]
+    # cross identities are NULL, so no multi-genome clique can form
+    assert all(int(r[0]) == 1 for r in rows), rows
