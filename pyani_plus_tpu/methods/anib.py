@@ -606,21 +606,36 @@ def _compute_all(ctx, rows, subjects, fragsize):
     # per-pair wall time is ~max(host, device) instead of their sum.
     group_env = os.environ.get("PYANI_TPU_ANIB_GROUP")
     on_device = use_device()
-    group_size = int(group_env) if group_env else (8 if on_device else 1)
+    # group=4 balances device-batch fill against pipeline granularity
+    # (measured 1.27 s/pair vs 1.37 at group=8 on the 400 kb column)
+    group_size = int(group_env) if group_env else (4 if on_device else 1)
 
-    def finalize_group(subject, batch, tasks, offsets, pooled_scores):
+    def group_results(subject, batch, tasks, offsets, pooled_scores):
+        """Winner stats for a group (pure compute; safe off-thread)."""
+        out = []
         for query_hash, (frags, per_frag, flat, spans), off in zip(
             batch, tasks, offsets
         ):
-            query = ctx.genomes[query_hash]
-            identity, aln_length, sim_errors = _pair_finalize(
-                query,
-                subject,
-                frags,
-                per_frag,
-                spans,
-                pooled_scores[off : off + len(flat)],
+            out.append(
+                (
+                    query_hash,
+                    _pair_finalize(
+                        ctx.genomes[query_hash],
+                        subject,
+                        frags,
+                        per_frag,
+                        spans,
+                        pooled_scores[off : off + len(flat)],
+                    ),
+                )
             )
+        return subject, out
+
+    def emit(subject, results):
+        """Rows + progress + flush, always on the compute thread (the
+        flush callback may hold a thread-affine sqlite connection)."""
+        for query_hash, (identity, aln_length, sim_errors) in results:
+            query = ctx.genomes[query_hash]
             rows.append(
                 {
                     "query_hash": query_hash,
@@ -639,43 +654,55 @@ def _compute_all(ctx, rows, subjects, fragsize):
             ctx.tick()
             ctx.maybe_flush(rows)
 
-    pending_fin = None  # (subject, batch, tasks, offsets, score_state)
-    for subject_hash in subjects:
-        subject = ctx.genomes[subject_hash]
-        seed_indexes = [SeedIndex(rec.codes) for rec in subject.records]
-        queries = sorted(q for q, s in ctx.pending if s == subject_hash)
-        for lo in range(0, len(queries), max(1, group_size)):
-            batch = queries[lo : lo + max(1, group_size)]
-            tasks = [
-                _pair_tasks(ctx.genomes[q], subject, seed_indexes, fragsize)
-                for q in batch
-            ]
-            pooled: list[tuple[np.ndarray, np.ndarray]] = []
-            offsets = []
-            for _frags, _per_frag, flat, _spans in tasks:
-                offsets.append(len(pooled))
-                pooled.extend(flat)
-            if on_device and pooled:
-                state = _score_device_submit(pooled)
-                if pending_fin is not None:
-                    p_subj, p_batch, p_tasks, p_off, p_state = pending_fin
-                    finalize_group(
-                        p_subj, p_batch, p_tasks, p_off,
-                        _score_device_collect(p_state),
-                    )
-                pending_fin = (subject, batch, tasks, offsets, state)
-            else:
-                if pending_fin is not None:
-                    p_subj, p_batch, p_tasks, p_off, p_state = pending_fin
-                    finalize_group(
-                        p_subj, p_batch, p_tasks, p_off,
-                        _score_device_collect(p_state),
-                    )
-                    pending_fin = None
-                scores = _score_host(pooled) if pooled else []
-                finalize_group(subject, batch, tasks, offsets, scores)
-    if pending_fin is not None:
-        p_subj, p_batch, p_tasks, p_off, p_state = pending_fin
-        finalize_group(
-            p_subj, p_batch, p_tasks, p_off, _score_device_collect(p_state)
+    def side_task(subject, batch, tasks, offsets, state):
+        return group_results(
+            subject, batch, tasks, offsets, _score_device_collect(state)
         )
+
+    # Two-stage software pipeline: a single side thread blocks on the
+    # device results and runs the winner-stats DPs for group g-1 WHILE
+    # the main thread seeds candidates and enqueues device batches for
+    # group g (the DP kernels release the GIL, so the stages genuinely
+    # overlap on the host cores). Results drain FIFO on the main thread,
+    # keeping row order deterministic and the store callback
+    # thread-affine. Depth is bounded at two in-flight groups.
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    inflight: deque = deque()
+    side = ThreadPoolExecutor(max_workers=1)
+    try:
+        for subject_hash in subjects:
+            subject = ctx.genomes[subject_hash]
+            seed_indexes = [SeedIndex(rec.codes) for rec in subject.records]
+            queries = sorted(q for q, s in ctx.pending if s == subject_hash)
+            for lo in range(0, len(queries), max(1, group_size)):
+                batch = queries[lo : lo + max(1, group_size)]
+                tasks = [
+                    _pair_tasks(ctx.genomes[q], subject, seed_indexes, fragsize)
+                    for q in batch
+                ]
+                pooled: list[tuple[np.ndarray, np.ndarray]] = []
+                offsets = []
+                for _frags, _per_frag, flat, _spans in tasks:
+                    offsets.append(len(pooled))
+                    pooled.extend(flat)
+                if on_device and pooled:
+                    state = _score_device_submit(pooled)
+                    while inflight and inflight[0].done():
+                        emit(*inflight.popleft().result())
+                    while len(inflight) >= 2:
+                        emit(*inflight.popleft().result())
+                    inflight.append(
+                        side.submit(side_task, subject, batch, tasks,
+                                    offsets, state)
+                    )
+                else:
+                    while inflight:
+                        emit(*inflight.popleft().result())
+                    scores = _score_host(pooled) if pooled else []
+                    emit(*group_results(subject, batch, tasks, offsets, scores))
+        while inflight:
+            emit(*inflight.popleft().result())
+    finally:
+        side.shutdown(wait=False, cancel_futures=True)
