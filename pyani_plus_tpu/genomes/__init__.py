@@ -6,8 +6,9 @@ numerics-ready genome objects:
 - identity = MD5 of the decompressed file bytes (ref: utils.py:142-196), so
   results are cacheable across renames/moves, exactly like the reference;
 - each sequence is encoded as a ``uint8`` code array with A/C/G/T -> 0/1/2/3
-  and anything else (N, IUPAC ambiguity, lowercase masking is folded to
-  uppercase first) -> 4, which downstream kernels treat as a hard mask;
+  and anything else (N, IUPAC ambiguity; lowercase folds to uppercase
+  first) -> a per-letter code >= 4, which downstream kernels treat as a
+  hard mask while tracebacks keep blastn's letter-equality identities;
 - genome-level metadata (length, description) mirrors the reference's
   ``Genome`` ORM row (db_orm.py:103-145).
 
@@ -24,41 +25,66 @@ import numpy as np
 
 from pyani_plus_tpu.utils import fasta_bytes_iterator, file_md5sum
 
-# Encoding table: ASCII byte -> 2-bit code, 4 = invalid/masked.
+# Encoding table: ASCII byte -> uint8 code. A/C/G/T (either case) ->
+# 0..3; every other IUPAC/unknown LETTER -> its uppercase ASCII value
+# (65..89, all >= 4 so every kernel's ambiguity mask still fires, yet
+# DISTINCT per letter so letter-equality semantics -- blastn counts
+# N==N as an identity but W vs R as a mismatch -- fall out of plain
+# code equality in the alignment tracebacks); any non-letter byte (or
+# 'Z', which no downstream symbol range reserves) -> 4.
 CODE_A, CODE_C, CODE_G, CODE_T, CODE_N = 0, 1, 2, 3, 4
 _ENCODE = np.full(256, CODE_N, dtype=np.uint8)
+for _c in range(ord("A"), ord("Z")):  # letters A..Y keep their identity
+    _ENCODE[_c] = _c
+    _ENCODE[_c + 32] = _c  # lowercase folds to uppercase
 for _i, _c in enumerate(b"ACGT"):
     _ENCODE[_c] = _i
     _ENCODE[_c + 32] = _i  # lowercase
 _DECODE = np.frombuffer(b"ACGTN", dtype=np.uint8)
 
+# IUPAC complement on the code domain: 2-bit codes complement as 3-c;
+# ambiguity letters map pairwise (R<->Y, K<->M, B<->V, D<->H; S, W, N
+# self); other letters (incl. the catch-all code 4) stay themselves.
+_COMPLEMENT = np.arange(256, dtype=np.uint8)
+_COMPLEMENT[:4] = [3, 2, 1, 0]
+for _a, _b in (b"RY", b"KM", b"BV", b"DH"):
+    _COMPLEMENT[_a] = _b
+    _COMPLEMENT[_b] = _a
+
 
 def encode_sequence(seq: bytes) -> np.ndarray:
-    """Encode a DNA sequence (bytes) to uint8 codes 0..3, with 4 = masked.
+    """Encode a DNA sequence (bytes) to uint8 codes.
+
+    0..3 = A/C/G/T; >= 4 = masked/ambiguous (the letter's uppercase
+    ASCII value, so distinct ambiguity letters stay distinguishable).
 
     >>> encode_sequence(b"ACGTacgtN-W").tolist()
-    [0, 1, 2, 3, 0, 1, 2, 3, 4, 4, 4]
+    [0, 1, 2, 3, 0, 1, 2, 3, 78, 4, 87]
     """
     return _ENCODE[np.frombuffer(seq, dtype=np.uint8)]
 
 
 def decode_sequence(codes: np.ndarray) -> bytes:
-    """Decode uint8 codes back to uppercase ASCII bytes (masked -> N).
+    """Decode uint8 codes back to uppercase ASCII bytes.
 
-    >>> decode_sequence(encode_sequence(b"acgtN"))
-    b'ACGTN'
+    Ambiguity letters round-trip; the catch-all code 4 decodes as N.
+
+    >>> decode_sequence(encode_sequence(b"acgtNRw-"))
+    b'ACGTNRWN'
     """
-    return _DECODE[np.minimum(codes, CODE_N)].tobytes()
+    codes = np.asarray(codes, dtype=np.uint8)
+    return np.where(
+        codes > CODE_N, codes, _DECODE[np.minimum(codes, CODE_N)]
+    ).astype(np.uint8).tobytes()
 
 
 def complement_codes(codes: np.ndarray) -> np.ndarray:
-    """Complement 2-bit codes (A<->T, C<->G); masked stays masked.
+    """IUPAC complement on codes (A<->T, C<->G, R<->Y, ...); 4 stays 4.
 
-    >>> decode_sequence(complement_codes(encode_sequence(b"ACGTN")))
-    b'TGCAN'
+    >>> decode_sequence(complement_codes(encode_sequence(b"ACGTNRW")))
+    b'TGCANYW'
     """
-    comp = (3 - codes).astype(np.uint8)
-    return np.where(codes >= CODE_N, codes, comp)
+    return _COMPLEMENT[codes]
 
 
 @dataclass(frozen=True)

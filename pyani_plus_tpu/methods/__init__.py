@@ -141,32 +141,34 @@ def run_pairwise(ctx: ComputeContext, fn: Callable[[str, str], dict]) -> list[di
                 max(1, available_cores() // workers)
             )
         pool = ThreadPoolExecutor(max_workers=workers)
+        # try/finally so the intra-worker budget env var and the pool are
+        # always restored/cleaned, whatever exception escapes f.result().
         try:
-            futures = {
-                pool.submit(fn, q, s): (q, s) for q, s in pairs
-            }
-            outstanding = set(futures)
-            while outstanding:
-                done, outstanding = wait(outstanding, return_when=FIRST_COMPLETED)
-                for fut in done:
-                    q, s = futures[fut]
-                    rows.append(
-                        {"query_hash": q, "subject_hash": s, **fut.result()}
+            try:
+                futures = {
+                    pool.submit(fn, q, s): (q, s) for q, s in pairs
+                }
+                outstanding = set(futures)
+                while outstanding:
+                    done, outstanding = wait(
+                        outstanding, return_when=FIRST_COMPLETED
                     )
-                    ctx.tick()
-                ctx.maybe_flush(rows)
-        except KeyboardInterrupt:
-            ctx.interrupted = True
-            ctx.logger.error(
-                "Interrupted with %d completed comparisons", len(rows)
-            )
+                    for fut in done:
+                        q, s = futures[fut]
+                        rows.append(
+                            {"query_hash": q, "subject_hash": s, **fut.result()}
+                        )
+                        ctx.tick()
+                    ctx.maybe_flush(rows)
+            except KeyboardInterrupt:
+                ctx.interrupted = True
+                ctx.logger.error(
+                    "Interrupted with %d completed comparisons", len(rows)
+                )
+        finally:
             pool.shutdown(wait=False, cancel_futures=True)
             if budget_set:
                 os.environ.pop("PYANI_TPU_INTRA_WORKERS", None)
-            return rows
-        pool.shutdown()
-        if budget_set:
-            os.environ.pop("PYANI_TPU_INTRA_WORKERS", None)
         return rows
     try:
         for query_hash, subject_hash in pairs:

@@ -330,6 +330,16 @@ def _score_host(pairs: list[tuple[np.ndarray, np.ndarray]]) -> list[int]:
 DEVICE_BATCH = 512  # candidate pairs per device call (fixed compile shape)
 MAX_DEVICE_WINDOW = 32768  # larger windows fall back to the host scorer
 
+_PALLAS_MODE: bool | None = None
+
+
+def _pallas_mode() -> bool:
+    """Process-level PYANI_TPU_ANIB_PALLAS flag (read once)."""
+    global _PALLAS_MODE
+    if _PALLAS_MODE is None:
+        _PALLAS_MODE = os.environ.get("PYANI_TPU_ANIB_PALLAS") == "1"
+    return _PALLAS_MODE
+
 
 def use_device() -> bool:
     """Batched device scoring on by default off-CPU; env overridable."""
@@ -376,11 +386,11 @@ def _score_device_submit(pairs: list[tuple[np.ndarray, np.ndarray]]):
     # the lax.scan kernel over the remote axon tunnel (both RTT-bound at
     # ~0.1 s per warm 512-lane dispatch, scores identical); it is the
     # candidate path for a locally-attached TPU where dispatch latency
-    # stops masking kernel time.
-    use_pallas = os.environ.get("PYANI_TPU_ANIB_PALLAS") == "1"
+    # stops masking kernel time. Read once per process (a mid-run
+    # toggle would mix compiled ladders for no benefit).
+    use_pallas = _pallas_mode()
     if use_pallas:
         from pyani_plus_tpu.ops.sw_pallas import (
-            N_COLS,
             batch_sw_scores_pallas,
             pallas_sw_supported,
         )

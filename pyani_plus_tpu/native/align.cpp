@@ -45,6 +45,21 @@ struct Scratch {
 };
 thread_local Scratch scratch;
 
+// The case/origin planes cost ~5 bytes/cell; a typical ANIb fragment is
+// ~1020 x ~1400 (~7 MB), but the host fallback for oversized windows
+// (> MAX_DEVICE_WINDOW lanes) can momentarily need hundreds of MB. Keep
+// thread_local reuse for the common shapes, but release (swap-to-empty)
+// anything above this cap after use so pool threads don't pin their
+// high-water mark for the process lifetime.
+constexpr int64_t PLANE_KEEP_CELLS = 16 * 1024 * 1024;  // ~80 MB of planes
+
+void release_oversized_planes() {
+  if ((int64_t)scratch.cases.capacity() > PLANE_KEEP_CELLS) {
+    std::vector<uint8_t>().swap(scratch.cases);
+    std::vector<int32_t>().swap(scratch.origin);
+  }
+}
+
 // Within-row E chain with origins: e_row[j] (j >= 2) is the best
 // gap-open value max_{j'<j}(g[j'] - go - ge*(j-j')) and eo_row[j] the
 // LARGEST j' achieving it (shortest-gap tie rule). Equivalent to a
@@ -210,7 +225,10 @@ int local_align_stats(const uint8_t *q, int64_t m, const uint8_t *s,
         }
     }
   }
-  if (best_score <= 0) return 0;
+  if (best_score <= 0) {
+    release_oversized_planes();
+    return 0;
+  }
 
   // Traceback over the case/origin planes only.
   int64_t i = best_i, j = best_j;
@@ -223,11 +241,10 @@ int local_align_stats(const uint8_t *q, int64_t m, const uint8_t *s,
       // blastn counts IDENTITIES by letter equality, so N aligned to N
       // is an identity (pident 100.000 across an N run) even though it
       // SCORES as a penalty; mismatch = non-identical columns only.
-      // LIMITATION: equality is tested on 2-bit codes, and every
-      // ambiguity letter encodes to 4 (genomes/__init__.py _ENCODE), so
-      // two DIFFERENT non-ACGT letters (e.g. W vs R) also count as an
-      // identity here where blastn's letter equality would not. Only
-      // N==N columns are pinned by the reference fixtures.
+      // Ambiguity letters carry their own code (genomes/__init__.py
+      // _ENCODE maps W->87, R->82, ...), so W vs R is a mismatch here
+      // exactly as blastn's letter equality gives; only letter-equal
+      // columns (N==N, W==W) count as identities.
       if (q[i - 1] == s[j - 1])
         matches++;
       else
@@ -260,6 +277,7 @@ int local_align_stats(const uint8_t *q, int64_t m, const uint8_t *s,
   out[7] = best_i;
   out[8] = j;
   out[9] = best_j;
+  release_oversized_planes();
   return 1;
 }
 

@@ -63,8 +63,9 @@ def local_align_stats(  # noqa: C901, PLR0912
 ) -> AlignmentStats | None:
     """Optimal local alignment of two uint8 code arrays, with statistics.
 
-    Codes 0..3 are bases; code 4 (N/ambiguous) never matches anything,
-    including another N (BLAST treats unknown residues as mismatches).
+    Codes 0..3 are bases; codes >= 4 (N/ambiguous) never MATCH anything
+    for scoring (BLAST scores unknown residues as mismatches), but the
+    traceback counts letter-equal columns (e.g. N==N) as identities.
     Returns None if no positive-scoring alignment exists.
 
     Dispatches to the native C++ kernel (bit-identical, ~300x faster)
@@ -94,7 +95,7 @@ def local_align_stats(  # noqa: C901, PLR0912
 
     jidx = np.arange(1, n + 1, dtype=np.int32)
     for i in range(1, m + 1):
-        match = (s == q[i - 1]) & (q[i - 1] != 4) & (s != 4)
+        match = (s == q[i - 1]) & (q[i - 1] < 4) & (s < 4)
         sub = np.where(match, reward, penalty).astype(np.int32)
         diag = H[i - 1, :-1] + sub
         f = np.maximum(H[i - 1, 1:] - go_ge, F[i - 1, 1:] - ge)
@@ -120,7 +121,7 @@ def local_align_stats(  # noqa: C901, PLR0912
     i, j = best_i, best_j
     matches = mismatches = gaps = gap_opens = length = 0
     while i > 0 and j > 0 and H[i, j] > 0:
-        is_match = q[i - 1] == s[j - 1] and q[i - 1] != 4 and s[j - 1] != 4
+        is_match = q[i - 1] == s[j - 1] and q[i - 1] < 4 and s[j - 1] < 4
         sub = reward if is_match else penalty
         if H[i, j] == H[i - 1, j - 1] + sub:
             length += 1
@@ -177,12 +178,12 @@ def local_align_stats(  # noqa: C901, PLR0912
 
 
 def _sub(q, s, i, j, reward, penalty):  # pragma: no cover - helper
-    is_match = q[i - 1] == s[j - 1] and q[i - 1] != 4 and s[j - 1] != 4
+    is_match = q[i - 1] == s[j - 1] and q[i - 1] < 4 and s[j - 1] < 4
     return reward if is_match else penalty
 
 
 def _g_value(H, F, q, s, i, j, reward, penalty):
     """G[i,j] = max(0, diag, F) -- the non-E candidates at a cell."""
-    is_match = q[i - 1] == s[j - 1] and q[i - 1] != 4 and s[j - 1] != 4
+    is_match = q[i - 1] == s[j - 1] and q[i - 1] < 4 and s[j - 1] < 4
     sub = reward if is_match else penalty
     return max(0, H[i - 1, j - 1] + sub, int(F[i, j]))

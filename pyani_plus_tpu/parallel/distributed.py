@@ -237,11 +237,14 @@ def launch_local(
     import subprocess
     import sys
 
+    import tempfile
+
     if port is None:
         with socket.socket() as s:
             s.bind(("127.0.0.1", 0))
             port = s.getsockname()[1]
     procs = []
+    logs: list = []
     for pid in range(num_processes):
         env = dict(os.environ)
         env[ENV_COORDINATOR] = f"127.0.0.1:{port}"
@@ -253,9 +256,16 @@ def launch_local(
         # --database run_{rank}.db demonstrates that no shared store is
         # needed: results merge through the collective, host 0 persists)
         worker_argv = [a.replace("{rank}", str(pid)) for a in argv]
-        # quiet=True silences worker progress output (benchmark drivers
-        # need the parent's stdout to stay a single JSON line)
-        sink = subprocess.DEVNULL if quiet else None
+        # quiet=True keeps worker output off the parent's stdout
+        # (benchmark drivers need it to stay a single JSON line), but
+        # captures it in a temp log that is dumped to stderr on a
+        # nonzero exit so failures stay diagnosable.
+        sink = (
+            tempfile.TemporaryFile(prefix=f"pyani-worker-{pid}-")
+            if quiet
+            else None
+        )
+        logs.append(sink)
         procs.append(
             subprocess.Popen(
                 [sys.executable, "-m", "pyani_plus_tpu.cli.main", *worker_argv],
@@ -273,4 +283,16 @@ def launch_local(
             if p.poll() is None:
                 p.kill()
         worst = 124
+    for pid, (p, log) in enumerate(zip(procs, logs)):
+        if log is None:
+            continue
+        if worst != 0 and p.returncode not in (0, None):
+            log.seek(0)
+            tail = log.read()[-8192:]
+            if tail:
+                sys.stderr.write(
+                    f"[launch] worker {pid} exited {p.returncode}; "
+                    f"output tail:\n{tail.decode(errors='replace')}\n"
+                )
+        log.close()
     return worst

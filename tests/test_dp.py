@@ -166,3 +166,39 @@ def test_anim_device_extension_pipeline_parity(monkeypatch) -> None:
     monkeypatch.setenv("PYANI_TPU_EXTEND_BATCH_MIN", "1")
     dev = compute_pair(q, s)
     assert host == dev
+
+
+def test_iupac_letter_equality_identities() -> None:
+    """blastn counts identities by LETTER equality: N==N or W==W columns
+    are identities (scored as penalties), but two DIFFERENT ambiguity
+    letters (W vs R) are mismatches -- the per-letter ambiguity encoding
+    (genomes._ENCODE) carries this through the traceback."""
+    flank = b"ACGTACGTACGTACGTACGT"
+    q = encode_sequence(flank + b"WW" + flank)
+    s_same = encode_sequence(flank + b"WW" + flank)
+    s_diff = encode_sequence(flank + b"RK" + flank)
+    st_same = local_align_stats(q, s_same)
+    st_diff = local_align_stats(q, s_diff)
+    # identical scores (both ambiguity columns score as mismatch)...
+    assert st_same.score == st_diff.score
+    assert st_same.length == st_diff.length == 42
+    # ...but letter-equal columns count as identities
+    assert (st_same.matches, st_same.mismatches) == (42, 0)
+    assert (st_diff.matches, st_diff.mismatches) == (40, 2)
+
+
+def test_iupac_fuzz_native_numpy_parity() -> None:
+    """Fuzz: native and numpy stats DPs agree field-for-field on
+    sequences salted with the full IUPAC alphabet."""
+    rng = np.random.default_rng(42)
+    letters = np.frombuffer(b"ACGTNRYSWKMBDHV", dtype=np.uint8)
+    for _ in range(25):
+        m = int(rng.integers(10, 120))
+        n = int(rng.integers(10, 160))
+        q = encode_sequence(letters[rng.integers(0, 15, m)].tobytes())
+        s = encode_sequence(letters[rng.integers(0, 15, n)].tobytes())
+        a = local_align_stats(q, s)
+        b = local_align_stats(q, s, force_numpy=True)
+        assert (a is None) == (b is None)
+        if a is not None:
+            assert a == b
