@@ -395,7 +395,9 @@ def _score_device_submit(pairs: list[tuple[np.ndarray, np.ndarray]]):
             pallas_sw_supported,
         )
 
-    inflight: list[tuple[list[int], object]] = []
+    from pyani_plus_tpu.utils import devmeter
+
+    inflight: list[tuple[list[int], object, float]] = []
     for n, idxs in sorted(buckets.items()):
         for lo in range(0, len(idxs), DEVICE_BATCH):
             chunk = idxs[lo : lo + DEVICE_BATCH]
@@ -405,19 +407,25 @@ def _score_device_submit(pairs: list[tuple[np.ndarray, np.ndarray]]):
                 frag, window = pairs[i]
                 q[row, : frag.size] = frag
                 s[row, : window.size] = window
+            t_submit = devmeter.now()
             if use_pallas and pallas_sw_supported(m, n):
-                inflight.append((chunk, batch_sw_scores_pallas(q, s)))
+                inflight.append((chunk, batch_sw_scores_pallas(q, s), t_submit))
             else:
-                inflight.append((chunk, batch_local_align_scores(q, s)))
+                inflight.append(
+                    (chunk, batch_local_align_scores(q, s), t_submit)
+                )
     return pairs, inflight, host_idx
 
 
 def _score_device_collect(state) -> list[int]:
     """Block on the in-flight batches and return per-pair scores."""
+    from pyani_plus_tpu.utils import devmeter
+
     pairs, inflight, host_idx = state
     scores = [0] * len(pairs)
-    for chunk, dev_out in inflight:
+    for chunk, dev_out, t_submit in inflight:
         out = np.asarray(dev_out)
+        devmeter.record(t_submit)
         for row, i in enumerate(chunk):
             scores[i] = int(out[row])
     if host_idx:  # pragma: no cover - giant window corner

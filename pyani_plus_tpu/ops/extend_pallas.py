@@ -450,10 +450,14 @@ def batch_extend_pallas(
     m_in[:nb] = m_lens
     n_in[:nb] = n_lens
     fn = _get_call(stop_rows, m_cols, b_cols, interpret)
+    from pyani_plus_tpu.utils import devmeter
+
+    t_submit = devmeter.now()
     out = np.asarray(
         fn(jnp.asarray(a_pad), jnp.asarray(b_ext),
            jnp.asarray(m_in), jnp.asarray(n_in))
     )
+    devmeter.record(t_submit)
     results: list[tuple[int, int, int, int, int] | None] = [None] * nb
     for pos, t in enumerate(order):
         bi, bj, _bs, be, bn, bg = (int(v) for v in out[pos, :6])
