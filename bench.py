@@ -174,6 +174,11 @@ def bench_alignment_methods(rng) -> dict:
     if _is_tpu_backend():
         t0 = time.time()
         batch_extend_pallas(tasks, stop_rows=600)
+        # warm the smaller row buckets too (one fixed 512-lane shape
+        # each) so no method column below pays a mid-run Mosaic compile
+        for m in (1200, 3400):
+            a = rng.integers(0, 4, m).astype(np.uint8)
+            batch_extend_pallas([(a, mutate(a, 0.1, rng))], stop_rows=600)
         out["extend_compile_seconds"] = round(time.time() - t0, 1)
         t0 = time.time()
         batch_extend_pallas(tasks, stop_rows=600)
@@ -398,12 +403,12 @@ def warm_only() -> None:
     from pyani_plus_tpu.ops.extend_pallas import _is_tpu_backend, batch_extend_pallas
 
     if _is_tpu_backend():
-        tasks = []
-        for m in (1200, 3400, 10000):  # one per M_COLS bucket
+        for m in (1200, 3400, 10000):  # one call per M_COLS bucket: the
+            # lane dimension is a fixed 512-lane block, so each bucket
+            # is exactly one compiled shape
             a = rng.integers(0, 4, m).astype(np.uint8)
             b = mutate(a, 0.1, rng)
-            tasks.append((a, b))
-        batch_extend_pallas(tasks, stop_rows=600)
+            batch_extend_pallas([(a, b)], stop_rows=600)
         out["warm_extend_seconds"] = round(time.time() - t0, 1)
 
         t0 = time.time()

@@ -327,7 +327,9 @@ def _score_host(pairs: list[tuple[np.ndarray, np.ndarray]]) -> list[int]:
     return [one(p) for p in pairs]
 
 
-DEVICE_BATCH = 512  # candidate pairs per device call (fixed compile shape)
+DEVICE_BATCH = int(
+    os.environ.get("PYANI_TPU_ANIB_BATCH", "512")
+)  # candidate pairs per device call (fixed compile shape)
 MAX_DEVICE_WINDOW = 32768  # larger windows fall back to the host scorer
 
 _PALLAS_MODE: bool | None = None
@@ -367,7 +369,7 @@ def _score_device_submit(pairs: list[tuple[np.ndarray, np.ndarray]]):
     stats for the previous one) overlaps device compute; collect with
     :func:`_score_device_collect`.
     """
-    from pyani_plus_tpu.ops.dp_jax import PAD_CODE, batch_local_align_scores
+    from pyani_plus_tpu.ops.dp_jax import PAD_CODE, batch_local_align_best
 
     frag_m = max(f.size for f, _w in pairs)
     m = ((frag_m + 255) // 256) * 256
@@ -412,29 +414,40 @@ def _score_device_submit(pairs: list[tuple[np.ndarray, np.ndarray]]):
                 inflight.append((chunk, batch_sw_scores_pallas(q, s), t_submit))
             else:
                 inflight.append(
-                    (chunk, batch_local_align_scores(q, s), t_submit)
+                    (chunk, batch_local_align_best(q, s), t_submit)
                 )
     return pairs, inflight, host_idx
 
 
-def _score_device_collect(state) -> list[int]:
-    """Block on the in-flight batches and return per-pair scores."""
+def _score_device_collect(state):
+    """Block on in-flight batches: (scores, trims) per pair.
+
+    ``trims[i]`` is the winning (best_i, best_j) cell from the device
+    argmax (same first-in-row-major rule as the host DP) when known,
+    else None; the winner-stats DP runs on the trimmed prefix domain.
+    """
     from pyani_plus_tpu.utils import devmeter
 
     pairs, inflight, host_idx = state
     scores = [0] * len(pairs)
+    trims: list[tuple[int, int] | None] = [None] * len(pairs)
     for chunk, dev_out, t_submit in inflight:
         out = np.asarray(dev_out)
         devmeter.record(t_submit)
-        for row, i in enumerate(chunk):
-            scores[i] = int(out[row])
+        if out.ndim == 2:  # [score, best_i, best_j] rows
+            for row, i in enumerate(chunk):
+                scores[i] = int(out[row, 0])
+                trims[i] = (int(out[row, 1]), int(out[row, 2]))
+        else:  # score-only kernels (Pallas path)
+            for row, i in enumerate(chunk):
+                scores[i] = int(out[row])
     if host_idx:  # pragma: no cover - giant window corner
         for i, sc in zip(host_idx, _score_host([pairs[i] for i in host_idx])):
             scores[i] = sc
-    return scores
+    return scores, trims
 
 
-def _score_device(pairs: list[tuple[np.ndarray, np.ndarray]]) -> list[int]:
+def _score_device(pairs: list[tuple[np.ndarray, np.ndarray]]):
     """Score all candidate (fragment, window) pairs on device (blocking)."""
     return _score_device_collect(_score_device_submit(pairs))
 
@@ -442,15 +455,32 @@ def _score_device(pairs: list[tuple[np.ndarray, np.ndarray]]) -> list[int]:
 def _best_stats(
     candidates: list[tuple[np.ndarray, np.ndarray, int]],
     scores: list[int] | None,
+    trims: list[tuple[int, int] | None] | None = None,
+    min_score: float | None = None,
 ) -> AlignmentStats | None:
-    """Exact stats DP on the winning candidate (first max on ties)."""
+    """Exact stats DP on the winning candidate (first max on ties).
+
+    When the winner's score is already known and fails the E-value gate
+    the stats DP is skipped outright (the caller would discard the
+    fragment either way -- device and stats scores are bit-equal, so
+    the outcome is identical). A known winning cell trims the DP to the
+    prefix rectangle query[:best_i] x window[:best_j]: DP values there
+    are independent of the removed rows/columns and the argmax rule is
+    inherited, so the traceback is unchanged (fuzz-locked).
+    """
     if not candidates:
         return None
     if scores is not None and len(candidates) > 1:
         best_idx = max(range(len(candidates)), key=lambda i: scores[i])
+        if min_score is not None and scores[best_idx] < min_score:
+            return None  # fragment fails the E-value score gate
     else:
         best_idx = 0
     strand_frag, window, w_lo = candidates[best_idx]
+    trim = trims[best_idx] if trims is not None else None
+    if trim is not None and trim[0] > 0:
+        strand_frag = strand_frag[: trim[0]]
+        window = window[: trim[1]]
     stats = local_align_stats(strand_frag, window)
     if stats is None:
         return None
@@ -500,13 +530,15 @@ def compute_pair(
     frags, per_frag, flat, spans = _pair_tasks(
         query, subject, seed_indexes, fragsize
     )
-    flat_scores = (
-        (_score_device(flat) if use_device() else _score_host(flat))
-        if flat
-        else []
-    )
+    if not flat:
+        flat_scores, flat_trims = [], []
+    elif use_device():
+        flat_scores, flat_trims = _score_device(flat)
+    else:
+        flat_scores = _score_host(flat)
+        flat_trims = [None] * len(flat)
     return _pair_finalize(
-        query, subject, frags, per_frag, spans, flat_scores
+        query, subject, frags, per_frag, spans, flat_scores, flat_trims
     )
 
 
@@ -540,24 +572,35 @@ def _pair_tasks(
     return frags, per_frag, flat, spans
 
 
-def _pair_finalize(
+def _pair_finalize(  # noqa: PLR0913
     query: Genome,
     subject: Genome,
     frags: list[np.ndarray],
     per_frag: list[list[tuple[np.ndarray, np.ndarray, int]]],
     spans: list[tuple[int, int] | None],
     flat_scores: list[int],
+    flat_trims: list[tuple[int, int] | None] | None = None,
 ) -> tuple[float | None, int | None, int | None]:
     """Winner stats + accept/accumulate stage of one directed pair."""
     # Winning-candidate exact stats DPs are independent per fragment;
     # the native kernel releases the GIL, so run them in a thread pool.
     per_frag_scores: list[list[int] | None] = []
+    per_frag_trims: list[list[tuple[int, int] | None] | None] = []
     for cands, span in zip(per_frag, spans):
         if span is not None:
             start, count = span
             per_frag_scores.append(flat_scores[start : start + count])
+            per_frag_trims.append(
+                flat_trims[start : start + count]
+                if flat_trims is not None
+                else None
+            )
         else:
             per_frag_scores.append(None)
+            per_frag_trims.append(None)
+    # E-value gate thresholds, known before any stats DP runs: a winner
+    # whose (device==stats) score fails the gate skips its DP entirely.
+    thresholds = [_min_score(frag.size, subject.length) for frag in frags]
     from pyani_plus_tpu.utils import intra_pair_workers
 
     workers = intra_pair_workers()
@@ -566,11 +609,21 @@ def _pair_finalize(
 
         with ThreadPoolExecutor(max_workers=workers) as pool:
             all_stats = list(
-                pool.map(_best_stats, per_frag, per_frag_scores, chunksize=8)
+                pool.map(
+                    _best_stats,
+                    per_frag,
+                    per_frag_scores,
+                    per_frag_trims,
+                    thresholds,
+                    chunksize=8,
+                )
             )
     else:
         all_stats = [
-            _best_stats(c, s) for c, s in zip(per_frag, per_frag_scores)
+            _best_stats(c, s, t, ms)
+            for c, s, t, ms in zip(
+                per_frag, per_frag_scores, per_frag_trims, thresholds
+            )
         ]
 
     total_pid_100 = 0.0
@@ -628,7 +681,8 @@ def _compute_all(ctx, rows, subjects, fragsize):
     # (measured 1.27 s/pair vs 1.37 at group=8 on the 400 kb column)
     group_size = int(group_env) if group_env else (4 if on_device else 1)
 
-    def group_results(subject, batch, tasks, offsets, pooled_scores):
+    def group_results(subject, batch, tasks, offsets, pooled_scores,
+                      pooled_trims=None):
         """Winner stats for a group (pure compute; safe off-thread)."""
         out = []
         for query_hash, (frags, per_frag, flat, spans), off in zip(
@@ -644,6 +698,9 @@ def _compute_all(ctx, rows, subjects, fragsize):
                         per_frag,
                         spans,
                         pooled_scores[off : off + len(flat)],
+                        None
+                        if pooled_trims is None
+                        else pooled_trims[off : off + len(flat)],
                     ),
                 )
             )
@@ -673,8 +730,9 @@ def _compute_all(ctx, rows, subjects, fragsize):
             ctx.maybe_flush(rows)
 
     def side_task(subject, batch, tasks, offsets, state):
+        pooled_scores, pooled_trims = _score_device_collect(state)
         return group_results(
-            subject, batch, tasks, offsets, _score_device_collect(state)
+            subject, batch, tasks, offsets, pooled_scores, pooled_trims
         )
 
     # Two-stage software pipeline: a single side thread blocks on the

@@ -416,50 +416,73 @@ def batch_extend_pallas(
                 *tasks[t], breaklen=max(1, stop_rows // 3)
             )
         return results_all  # type: ignore[return-value]
-    order = sorted(range(nb), key=lambda t: tasks[t][0].size, reverse=True)
-    m_lens = np.zeros(nb, dtype=np.int32)
-    n_lens = np.zeros(nb, dtype=np.int32)
-    for pos, t in enumerate(order):
-        m_lens[pos] = tasks[t][0].size
-        n_lens[pos] = tasks[t][1].size
-    nb_pad = -(-nb // LB) * LB
-    m_max = int(m_lens.max())
-    n_max = int(n_lens.max())
-    # Three fixed row buckets: every distinct (m_cols, b_cols) pair is a
-    # separate Mosaic compile, and compiles over the axon tunnel cost
-    # minutes -- padded rows past max(m) are nearly free (the outer
-    # while_loop exits at the block's true row count).
-    m_need = -(-m_max // CHUNK) * CHUNK
-    for cand in M_COLS_BUCKETS:
-        if m_need <= cand:
-            m_cols = cand
-            break
-    # free-end tasks are pre-trimmed to limit = min(m, n) + breaklen, so
-    # n <= m + breaklen; +384 covers BAND+1+n_max and the chunk lookahead
-    b_cols = m_cols + 384
-    if BAND + 1 + n_max > b_cols:  # pragma: no cover - untrimmed caller
-        b_cols = m_cols + (-(-(BAND + 1 + n_max - m_cols) // LANE) * LANE)
-    a_pad = np.full((nb_pad, m_cols), 255, dtype=np.uint8)
-    b_ext = np.full((nb_pad, b_cols), 255, dtype=np.uint8)
-    for pos, t in enumerate(order):
-        a, b = tasks[t]
-        a_pad[pos, : a.size] = a
-        b_ext[pos, BAND + 1 : BAND + 1 + b.size] = b
-    m_in = np.zeros(nb_pad, dtype=np.int32)
-    n_in = np.zeros(nb_pad, dtype=np.int32)
-    m_in[:nb] = m_lens
-    n_in[:nb] = n_lens
-    fn = _get_call(stop_rows, m_cols, b_cols, interpret)
+    import os
+
     from pyani_plus_tpu.utils import devmeter
 
-    t_submit = devmeter.now()
-    out = np.asarray(
-        fn(jnp.asarray(a_pad), jnp.asarray(b_ext),
-           jnp.asarray(m_in), jnp.asarray(n_in))
-    )
-    devmeter.record(t_submit)
+    order = sorted(range(nb), key=lambda t: tasks[t][0].size, reverse=True)
+    # Fixed lane-block dispatches on real hardware: the jit retraces per
+    # input SHAPE, so a variable lane count means a fresh ~2 s Mosaic
+    # compile per new batch size. Splitting into fixed 512-lane blocks
+    # pins the lane dimension to ONE shape per m_cols bucket (padded
+    # lanes carry m=0 and exit their row loop immediately); the sorted
+    # order also lets later (smaller-m) blocks use smaller row buckets.
+    # Dispatch is async: all blocks enqueue before the first result is
+    # materialised, so transfers and kernels pipeline on the device.
+    lanes_env = os.environ.get("PYANI_TPU_EXTEND_LANES")
+    block_lanes = int(lanes_env) if lanes_env else 512
+    if interpret:  # tests: keep the minimal variable-shape single block
+        blocks = [order]
+    else:
+        blocks = [
+            order[lo : lo + block_lanes] for lo in range(0, nb, block_lanes)
+        ]
+    inflight = []
+    for blk in blocks:
+        k = len(blk)
+        nb_pad = block_lanes if not interpret else -(-k // LB) * LB
+        m_lens = np.zeros(k, dtype=np.int32)
+        n_lens = np.zeros(k, dtype=np.int32)
+        for pos, t in enumerate(blk):
+            m_lens[pos] = tasks[t][0].size
+            n_lens[pos] = tasks[t][1].size
+        m_max = int(m_lens.max())
+        n_max = int(n_lens.max())
+        # Fixed row buckets: every distinct (m_cols, b_cols) pair is a
+        # separate Mosaic compile -- padded rows past max(m) are nearly
+        # free (the outer while_loop exits at the block's true rows).
+        m_need = -(-m_max // CHUNK) * CHUNK
+        for cand in M_COLS_BUCKETS:
+            if m_need <= cand:
+                m_cols = cand
+                break
+        # free-end tasks are pre-trimmed to limit = min(m, n) + breaklen,
+        # so n <= m + breaklen; +384 covers BAND+1+n_max and lookahead
+        b_cols = m_cols + 384
+        if BAND + 1 + n_max > b_cols:  # pragma: no cover - untrimmed caller
+            b_cols = m_cols + (-(-(BAND + 1 + n_max - m_cols) // LANE) * LANE)
+        a_pad = np.full((nb_pad, m_cols), 255, dtype=np.uint8)
+        b_ext = np.full((nb_pad, b_cols), 255, dtype=np.uint8)
+        for pos, t in enumerate(blk):
+            a, b = tasks[t]
+            a_pad[pos, : a.size] = a
+            b_ext[pos, BAND + 1 : BAND + 1 + b.size] = b
+        m_in = np.zeros(nb_pad, dtype=np.int32)
+        n_in = np.zeros(nb_pad, dtype=np.int32)
+        m_in[:k] = m_lens
+        n_in[:k] = n_lens
+        fn = _get_call(stop_rows, m_cols, b_cols, interpret)
+        t_submit = devmeter.now()
+        fut = fn(
+            jnp.asarray(a_pad), jnp.asarray(b_ext),
+            jnp.asarray(m_in), jnp.asarray(n_in)
+        )
+        inflight.append((blk, fut, t_submit))
     results: list[tuple[int, int, int, int, int] | None] = [None] * nb
-    for pos, t in enumerate(order):
-        bi, bj, _bs, be, bn, bg = (int(v) for v in out[pos, :6])
-        results[t] = (bi, bj, be, bn, bg)
+    for blk, fut, t_submit in inflight:
+        out = np.asarray(fut)
+        devmeter.record(t_submit)
+        for pos, t in enumerate(blk):
+            bi, bj, _bs, be, bn, bg = (int(v) for v in out[pos, :6])
+            results[t] = (bi, bj, be, bn, bg)
     return results  # type: ignore[return-value]

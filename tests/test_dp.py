@@ -202,3 +202,41 @@ def test_iupac_fuzz_native_numpy_parity() -> None:
         assert (a is None) == (b is None)
         if a is not None:
             assert a == b
+
+
+def test_batch_best_trim_equivalence_fuzz() -> None:
+    """batch_local_align_best returns the host DP's exact argmax cell
+    (first max in row-major order), and the stats DP on the trimmed
+    prefix domain query[:best_i] x subject[:best_j] is field-for-field
+    identical to the full-domain stats DP."""
+    from pyani_plus_tpu.ops.dp_jax import PAD_CODE, batch_local_align_best
+
+    rng = np.random.default_rng(7)
+    tasks = []
+    for _ in range(24):
+        m = int(rng.integers(20, 90))
+        n = int(rng.integers(30, 140))
+        q = rng.integers(0, 5, m).astype(np.uint8)
+        s = rng.integers(0, 5, n).astype(np.uint8)
+        if rng.random() < 0.7:  # plant homology so alignments exist
+            ln = min(m, n) // 2
+            s[:ln] = q[:ln]
+        tasks.append((q, s))
+    mmax = max(q.size for q, _ in tasks)
+    nmax = max(s.size for _, s in tasks)
+    qb = np.full((len(tasks), mmax), PAD_CODE, np.uint8)
+    sb = np.full((len(tasks), nmax), PAD_CODE, np.uint8)
+    for i, (q, s) in enumerate(tasks):
+        qb[i, : q.size] = q
+        sb[i, : s.size] = s
+    out = np.asarray(batch_local_align_best(qb, sb))
+    for i, (q, s) in enumerate(tasks):
+        score, bi, bj = (int(v) for v in out[i])
+        full = local_align_stats(q, s)
+        if full is None:
+            assert score <= 0, (i, score)
+            continue
+        assert score == full.score, (i, score, full.score)
+        assert (bi, bj) == (full.query_end, full.subject_end), i
+        trimmed = local_align_stats(q[:bi], s[:bj])
+        assert trimmed == full, (i, trimmed, full)
