@@ -735,18 +735,23 @@ def _compute_all(ctx, rows, subjects, fragsize):
             subject, batch, tasks, offsets, pooled_scores, pooled_trims
         )
 
-    # Two-stage software pipeline: a single side thread blocks on the
-    # device results and runs the winner-stats DPs for group g-1 WHILE
-    # the main thread seeds candidates and enqueues device batches for
-    # group g (the DP kernels release the GIL, so the stages genuinely
-    # overlap on the host cores). Results drain FIFO on the main thread,
-    # keeping row order deterministic and the store callback
-    # thread-affine. Depth is bounded at two in-flight groups.
+    # Two-stage software pipeline: side threads block on the device
+    # results and run the winner-stats DPs for earlier groups WHILE the
+    # main thread seeds candidates and enqueues device batches for the
+    # next one (the DP kernels release the GIL, so the stages genuinely
+    # overlap on the host cores). TWO side workers by default: one
+    # serialised collect+stats thread was the measured pipeline
+    # bottleneck (it sleeps ~0.45 s/pair on device results, GIL-free
+    # time a second worker can spend in the stats DPs). Results drain
+    # FIFO on the main thread, keeping row order deterministic and the
+    # store callback thread-affine; in-flight depth = workers + 1.
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
+    side_workers = int(os.environ.get("PYANI_TPU_ANIB_SIDE", "2"))
+    depth = side_workers + 1
     inflight: deque = deque()
-    side = ThreadPoolExecutor(max_workers=1)
+    side = ThreadPoolExecutor(max_workers=side_workers)
     try:
         for subject_hash in subjects:
             subject = ctx.genomes[subject_hash]
@@ -767,7 +772,7 @@ def _compute_all(ctx, rows, subjects, fragsize):
                     state = _score_device_submit(pooled)
                     while inflight and inflight[0].done():
                         emit(*inflight.popleft().result())
-                    while len(inflight) >= 2:
+                    while len(inflight) >= depth:
                         emit(*inflight.popleft().result())
                     inflight.append(
                         side.submit(side_task, subject, batch, tasks,

@@ -48,10 +48,15 @@ import numpy as np
 
 from pyani_plus_tpu.ops.extend import EXTEND, MATCH, MISMATCH, NEG, OPEN
 
+import os as _os
+
 BAND = 60
 WIDTH = 2 * BAND + 1  # 121 live band columns
 LANE = 128  # padded band width (TPU lane count)
-LB = 16  # batch lanes per grid step (sublane axis)
+# batch lanes per grid step (sublane axis). More lanes per step amortise
+# the per-row fixed overhead (loop control, rolls, reductions) across
+# more band data; VMEM per step grows as LB * (m_cols + b_cols) * 4 B.
+LB = int(_os.environ.get("PYANI_TPU_EXTEND_LB", "16"))
 CHUNK = 128  # rows per inner fori_loop; early-exit checks at this grain
 # The ONLY device shapes ever compiled: each distinct (m_cols, b_cols) is
 # a separate Mosaic compile (minutes over the axon tunnel), so m_cols is
@@ -111,26 +116,28 @@ def _make_kernel(stop_rows: int):
 
         cs0 = jnp.maximum(Ms, Is)
         ce0 = jnp.where(Ms >= Is, zeros, Ie)
-        row_max0 = jnp.max(cs0, axis=1, keepdims=True)
-        k_sel0 = jnp.max(
-            jnp.where(cs0 == row_max0, offs, -1), axis=1, keepdims=True
-        )
-        j_sel0 = k_sel0 - BAND
-        e_sel0 = jnp.max(
-            jnp.where(offs == k_sel0, ce0, 0), axis=1, keepdims=True
-        )
-        upd0 = (row_max0 > 0) | ((row_max0 == 0) & (j_sel0 > 0))
+        # Deferred best-cell tracking: per COLUMN a packed key
+        # cs * 32768 + (2*i + k) -- score primary, i+j secondary (j =
+        # k + i - BAND, so 2i+k orders exactly like i+j) -- plus the
+        # payloads at the column's best. The per-row cross-lane argmax
+        # reductions (5 per row in the old layout, ~half the kernel's
+        # runtime) collapse to ONE row reduction for the give-up
+        # counter; the global winner is extracted once after the loop.
+        # Keys are non-negative for every recordable cell (negative
+        # scores can never beat the initial best of 0), so -1 = none.
+        # No overflow: cs <= 2*10240 -> cs*32768 < 2^30; 2i+k < 32768.
+        key0 = jnp.where(cs0 >= 0, cs0 * 32768 + offs, -1)
+        colkey = key0
+        coli = zeros
+        cole = jnp.where(cs0 >= 0, ce0, 0)
+        coln = cole  # row-0 payloads: e == n == g == j
+        colg = cole
         z1 = jnp.zeros((LB, 1), jnp.int32)
-        best_i = z1
-        best_j = jnp.where(upd0, j_sel0, 0)
-        best_s = jnp.where(upd0, row_max0, 0)
-        best_e = jnp.where(upd0, e_sel0, 0)
-        best_n = best_e  # row-0 payloads: e == n == g == j
-        best_g = best_e
+        best_key = jnp.max(key0, axis=1, keepdims=True)
 
         def row_body(t, state, *, i0, awin, bwin):
             (_i0, Ms, Me, Mn, Mg, Ds, De, Dn, Dg, Is, Ie, In, Ig,
-             best_i, best_j, best_s, best_e, best_n, best_g,
+             colkey, coli, cole, coln, colg, best_key,
              rows_since, dead) = state
             i = i0 + 1 + t
             # The banded j-1 window of b for this row is contiguous
@@ -194,9 +201,11 @@ def _make_kernel(stop_rows: int):
             nDg = jnp.where(dead_d, 0, d_g)
 
             # --- I: latest-source running max of the row's open keys,
-            # as an associative doubling scan carrying payloads (the
-            # host gathers from the argmax; here the payloads ride the
-            # scan instead). Ties keep the RIGHT operand = later k.
+            # as an associative doubling scan. Ties keep the RIGHT
+            # operand = later k. Payloads are absorbed: the horizontal
+            # gap adds its length (k - src) to errors/nonid/gapcols
+            # EQUALLY, so carry e_adj = e_src - src (consume as
+            # e_adj + k) and the invariant deltas n - e and g - e.
             base_m = nMs >= nDs
             bs = jnp.where(base_m, nMs, nDs)
             be = jnp.where(base_m, nMe, nDe)
@@ -205,33 +214,33 @@ def _make_kernel(stop_rows: int):
             key = jnp.where(
                 bs > half_neg, bs + gap_open - gap_extend * (offs + 1), neg
             )
-            sv, si, se, sn, sg = key, offs, be, bn, bg
+            sv, se, sn, sg = key, be - offs, bn - be, bg - be
             s = 1
             while s < LANE:
                 lv = _shift_from_left(sv, s, neg, lane_ids)
-                li = _shift_from_left(si, s, -1, lane_ids)
                 le = _shift_from_left(se, s, 0, lane_ids)
                 ln_ = _shift_from_left(sn, s, 0, lane_ids)
                 lg = _shift_from_left(sg, s, 0, lane_ids)
                 take_left = lv > sv
                 sv = jnp.where(take_left, lv, sv)
-                si = jnp.where(take_left, li, si)
                 se = jnp.where(take_left, le, se)
                 sn = jnp.where(take_left, ln_, sn)
                 sg = jnp.where(take_left, lg, sg)
                 s *= 2
             left_max = _shift_from_left(sv, 1, neg, lane_ids)
-            left_src = _shift_from_left(si, 1, -1, lane_ids)
             left_e = _shift_from_left(se, 1, 0, lane_ids)
             left_n = _shift_from_left(sn, 1, 0, lane_ids)
             left_g = _shift_from_left(sg, 1, 0, lane_ids)
-            ok_i = valid & (js >= 1) & (left_src >= 0) & (left_max > half_neg)
+            ok_i = valid & (js >= 1) & (left_max > half_neg)
+            e_full = left_e + offs
             nIs = jnp.where(ok_i, left_max + gap_extend * offs, neg)
-            nIe = jnp.where(ok_i, left_e + (offs - left_src), 0)
-            nIn = jnp.where(ok_i, left_n + (offs - left_src), 0)
-            nIg = jnp.where(ok_i, left_g + (offs - left_src), 0)
+            nIe = jnp.where(ok_i, e_full, 0)
+            nIn = jnp.where(ok_i, e_full + left_n, 0)
+            nIg = jnp.where(ok_i, e_full + left_g, 0)
 
-            # --- best-cell update (ties prefer larger i + j)
+            # --- best-cell update (ties prefer larger i + j), deferred:
+            # per-column packed-key running max + payloads; ONE row
+            # reduction (the give-up counter needs per-row improvement)
             cs, ce, cn, cg = nMs, nMe, nMn, nMg
             t3 = nDs > cs
             cs = jnp.where(t3, nDs, cs)
@@ -243,26 +252,19 @@ def _make_kernel(stop_rows: int):
             ce = jnp.where(t4, nIe, ce)
             cn = jnp.where(t4, nIn, cn)
             cg = jnp.where(t4, nIg, cg)
-            row_max = jnp.max(cs, axis=1, keepdims=True)
-            k_sel = jnp.max(
-                jnp.where(cs == row_max, offs, -1), axis=1, keepdims=True
-            )
-            j_sel = k_sel + (i - BAND)
-            sel = offs == k_sel
-            e_sel = jnp.max(jnp.where(sel, ce, 0), axis=1, keepdims=True)
-            n_sel = jnp.max(jnp.where(sel, cn, 0), axis=1, keepdims=True)
-            g_sel = jnp.max(jnp.where(sel, cg, 0), axis=1, keepdims=True)
             row_active = (i <= m_lane) & (dead == 0)
-            upd = row_active & (
-                (row_max > best_s)
-                | ((row_max == best_s) & (i + j_sel > best_i + best_j))
+            key = jnp.where(
+                row_active & (cs >= 0), cs * 32768 + (2 * i + offs), -1
             )
-            best_i = jnp.where(upd, i, best_i)
-            best_j = jnp.where(upd, j_sel, best_j)
-            best_s = jnp.where(upd, row_max, best_s)
-            best_e = jnp.where(upd, e_sel, best_e)
-            best_n = jnp.where(upd, n_sel, best_n)
-            best_g = jnp.where(upd, g_sel, best_g)
+            take = key > colkey  # within a column keys never tie
+            colkey = jnp.where(take, key, colkey)
+            coli = jnp.where(take, i, coli)
+            cole = jnp.where(take, ce, cole)
+            coln = jnp.where(take, cn, coln)
+            colg = jnp.where(take, cg, colg)
+            row_key = jnp.max(key, axis=1, keepdims=True)
+            upd = row_key > best_key
+            best_key = jnp.where(upd, row_key, best_key)
             rows_since = jnp.where(
                 ~row_active, rows_since, jnp.where(upd, 0, rows_since + 1)
             )
@@ -272,7 +274,7 @@ def _make_kernel(stop_rows: int):
 
             return (_i0, nMs, nMe, nMn, nMg, nDs, nDe, nDn, nDg,
                     nIs, nIe, nIn, nIg,
-                    best_i, best_j, best_s, best_e, best_n, best_g,
+                    colkey, coli, cole, coln, colg, best_key,
                     rows_since, dead)
 
         m_block = jnp.max(m_lane)
@@ -299,12 +301,34 @@ def _make_kernel(stop_rows: int):
         carry = (
             jnp.int32(0), Ms, zeros, zeros, zeros, negs, zeros, zeros, zeros,
             Is, Ie, Ie, Ie,
-            best_i, best_j, best_s, best_e, best_n, best_g,
+            colkey, coli, cole, coln, colg, best_key,
             jnp.zeros((LB, 1), jnp.int32), jnp.zeros((LB, 1), jnp.int32),
         )
         carry = jax.lax.while_loop(chunk_cond, chunk_body, carry)
         (_, _, _, _, _, _, _, _, _, _, _, _, _,
-         best_i, best_j, best_s, best_e, best_n, best_g, _, _) = carry
+         colkey, coli, cole, coln, colg, _bk, _, _) = carry
+        # Global winner: max packed key across columns; among key ties
+        # pick the largest column (the old per-row argmax picked the
+        # largest k at the winning row, and a cross-column key tie means
+        # the later-k column's cell was recorded at an earlier row, so
+        # the old update kept exactly that one).
+        gkey = jnp.max(colkey, axis=1, keepdims=True)
+        found = gkey >= 0
+        k_sel = jnp.max(
+            jnp.where(colkey == gkey, offs, -1), axis=1, keepdims=True
+        )
+        sel = (offs == k_sel) & (colkey == gkey)
+        bi = jnp.max(jnp.where(sel, coli, 0), axis=1, keepdims=True)
+        be = jnp.max(jnp.where(sel, cole, 0), axis=1, keepdims=True)
+        bn = jnp.max(jnp.where(sel, coln, 0), axis=1, keepdims=True)
+        bg = jnp.max(jnp.where(sel, colg, 0), axis=1, keepdims=True)
+        z = jnp.zeros((LB, 1), jnp.int32)
+        best_i = jnp.where(found, bi, z)
+        best_j = jnp.where(found, bi + k_sel - BAND, z)
+        best_s = jnp.where(found, jnp.maximum(gkey, 0) >> 15, z)
+        best_e = jnp.where(found, be, z)
+        best_n = jnp.where(found, bn, z)
+        best_g = jnp.where(found, bg, z)
         pad = jnp.zeros((LB, 2), jnp.int32)
         out_ref[:, :] = jnp.concatenate(
             [best_i, best_j, best_s, best_e, best_n, best_g, pad], axis=1
