@@ -736,7 +736,9 @@ def plot_run_cmd(  # noqa: PLR0913
     if not outdir.is_dir():
         outdir.mkdir(parents=True)
     with Database(database, logger=logger) as db:
-        run = _load_run_checked(logger, db, run_id, check_complete=True)
+        run = _load_run_checked(
+            logger, db, run_id, check_complete=True, check_empty=True
+        )
         plot_single_run(
             logger, run, outdir, label=label, formats=tuple(formats.split(","))
         )

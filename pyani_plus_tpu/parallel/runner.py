@@ -66,10 +66,18 @@ def start_and_run_method(  # noqa: PLR0913
     method = get_method(method_name)
     config = method.configuration(**params)
 
-    hash_to_filename = index_fasta_directory(logger, fasta)
-    logger.info("Indexed %d genomes from %s", len(hash_to_filename), fasta)
+    # Ingest problems (broken symlinks, empty/gzip-mismatched FASTA
+    # files) raise ValueError from the genome layer; surface them as the
+    # reference does -- one CRITICAL log line and a clean exit, never a
+    # traceback (public_cli's log_sys_exit discipline).
+    try:
+        hash_to_filename = index_fasta_directory(logger, fasta)
+        logger.info("Indexed %d genomes from %s", len(hash_to_filename), fasta)
 
-    db = Database(database, create=create_db, logger=logger)
+        db = Database(database, create=create_db, logger=logger)
+    except ValueError as exc:
+        log_sys_exit(logger, str(exc))
+        raise  # pragma: no cover - log_sys_exit raises SystemExit
     try:
         run = _setup_run(
             logger, db, fasta, config, hash_to_filename, name, cmdline, method_name
@@ -82,6 +90,9 @@ def start_and_run_method(  # noqa: PLR0913
             cache=cache,
             extra_files=extra_files,
         )
+    except ValueError as exc:
+        log_sys_exit(logger, str(exc))
+        raise  # pragma: no cover - log_sys_exit raises SystemExit
     finally:
         db.close()
 
