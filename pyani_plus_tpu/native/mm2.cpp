@@ -323,26 +323,49 @@ void mm2_chain_rmq2_f(const int64_t *ax, const int32_t *ay, int64_t n,
         }
       }
     }
-    // inner: serial scan by descending y with the DP skip heuristic
+    // inner: serial scan with the DP skip heuristic. Default order is
+    // descending y (round-3 fixture-calibrated); flag 8 switches to
+    // descending INDEX (x-major, mg_chain_dp's loop order) -- the
+    // candidate skip-order mechanism behind the junk-pair residue
+    // (tools/mm2_junk_residue_experiment.py measures both).
     if (max_dist_inner > 0 && ((flags & 2) || max_j < 0 || !exact)) {
       int32_t n_skip = 0;
-      auto it = inner.upper_bound({ay[i], i});
-      while (it != inner.begin()) {
-        --it;
-        const int32_t yj = it->first;
-        if (yj < ay[i] - max_dist) break;
-        const int64_t j = it->second;
-        int32_t width;
-        const int32_t sc = f[j] + comput_sc(i, j, nullptr, &width);
-        if (width <= bw) {
-          if (sc > max_f) {
-            max_f = sc;
-            max_j = j;
-            if (n_skip > 0) n_skip--;
-          } else if (t[j] == i) {
-            if (++n_skip > max_skip) break;
+      if (flags & 8) {
+        for (int64_t j = i0 - 1; j >= st_inner; --j) {
+          const int32_t yj = ay[j];
+          if (yj >= ay[i] || yj < ay[i] - max_dist) continue;
+          int32_t width;
+          const int32_t sc = f[j] + comput_sc(i, j, nullptr, &width);
+          if (width <= bw) {
+            if (sc > max_f) {
+              max_f = sc;
+              max_j = j;
+              if (n_skip > 0) n_skip--;
+            } else if (t[j] == i) {
+              if (++n_skip > max_skip) break;
+            }
+            if (p[j] >= 0) t[p[j]] = i;
           }
-          if (p[j] >= 0) t[p[j]] = i;
+        }
+      } else {
+        auto it = inner.upper_bound({ay[i], i});
+        while (it != inner.begin()) {
+          --it;
+          const int32_t yj = it->first;
+          if (yj < ay[i] - max_dist) break;
+          const int64_t j = it->second;
+          int32_t width;
+          const int32_t sc = f[j] + comput_sc(i, j, nullptr, &width);
+          if (width <= bw) {
+            if (sc > max_f) {
+              max_f = sc;
+              max_j = j;
+              if (n_skip > 0) n_skip--;
+            } else if (t[j] == i) {
+              if (++n_skip > max_skip) break;
+            }
+            if (p[j] >= 0) t[p[j]] = i;
+          }
         }
       }
     }

@@ -57,11 +57,21 @@ tests/test_animinimap2.py gates at 7e-4/0.9%). The deviation survives
 every kernel-semantic hypothesis the matrix-only oracle can test:
 pri_mode variants, inner-scan distance, max_gap/min_sc/size_cap sweeps,
 and the RMQ_FLAGS micro-semantics (dq<=0 rejection, always-inner-scan,
-open window bound) are all no-ops or worse on every fixture pair, so
-the residue sits in minimap2's dynamic-tree eviction/skip order on
-sparse junk anchors -- unobservable from its outputs on these fixtures,
-and numerically irrelevant downstream (the pairs are reported as
-no-homology either way).
+open window bound) are all no-ops or worse on every fixture pair.
+ROUND-5 measurements (tools/mm2_junk_residue_experiment.py) refuted the
+remaining named suspects directly: the inner-scan SKIP ORDER
+(descending-y vs mg_chain_dp's descending-index, RMQ flag bit 8) is a
+bit-exact no-op on all four junk pairs; the size-cap EVICTION schedule
+never triggers (max 43k anchors per chain call vs the 100k cap); and
+mapq-0 gating accounts for < 2.2 kb of the ~13.1 kb deficit. What IS
+measured: the deficit is query-side and subject-independent (identical
+-13123 query-union shortfall vs two different subjects, with identical
+uncovered-interval maps), i.e. minimap2 additionally covers ~13 kb of
+conserved islands (rRNA-operon scale) inside the ~1 Mb of no-homology
+deserts where this pipeline emits no chain -- a chain-formation/
+threshold boundary effect on genuinely-homologous micro-islands that a
+matrix-only oracle cannot localise further. Numerically irrelevant
+downstream (the pairs are reported as no-homology either way).
 """
 
 from __future__ import annotations
