@@ -328,8 +328,9 @@ def _score_host(pairs: list[tuple[np.ndarray, np.ndarray]]) -> list[int]:
 
 
 DEVICE_BATCH = int(
-    os.environ.get("PYANI_TPU_ANIB_BATCH", "512")
-)  # candidate pairs per device call (fixed compile shape)
+    os.environ.get("PYANI_TPU_ANIB_BATCH", "1024")
+)  # candidate pairs per device call (fixed compile shape; 1024 measured
+# ~5% faster per pair than 512 on the axon tunnel -- fewer round trips)
 MAX_DEVICE_WINDOW = 32768  # larger windows fall back to the host scorer
 
 _PALLAS_MODE: bool | None = None
