@@ -194,17 +194,18 @@ def bench_alignment_methods(rng) -> dict:
 
     # --- one divergent (~85% ANI) pair per alignment method
     alen = int(os.environ.get("BENCH_ALN_LEN", "400000"))
+    n_col = int(os.environ.get("BENCH_COL_QUERIES", "6"))
     base = rng.integers(0, 4, alen, dtype=np.uint8)
     md5_r = "b" * 32
     md5_q = "a" * 32
-    md5_q2 = "c" * 32
     md5_q3 = "d" * 32
-    genomes = {
-        md5_r: _genome_from_codes(base, md5_r),
-        md5_q: _genome_from_codes(mutate(base, 0.15, rng), md5_q),
-        md5_q2: _genome_from_codes(mutate(base, 0.15, rng), md5_q2),
-        md5_q3: _genome_from_codes(mutate(base, 0.15, rng), md5_q3),
-    }
+    genomes = {md5_r: _genome_from_codes(base, md5_r)}
+    col_queries = []
+    for i in range(max(n_col, 3)):
+        name = chr(ord("e") + i) * 32 if i >= 2 else (md5_q, "c" * 32)[i]
+        genomes[name] = _genome_from_codes(mutate(base, 0.15, rng), name)
+        col_queries.append(name)
+    genomes[md5_q3] = _genome_from_codes(mutate(base, 0.15, rng), md5_q3)
     pair = (md5_q, md5_r)
     # ANIb warm-up: the first pair pays the XLA compiles for the batched
     # DP shapes (minutes-scale and wildly variable over the axon tunnel,
@@ -239,10 +240,14 @@ def bench_alignment_methods(rng) -> dict:
     # device_busy_fraction: share of the column's wall clock with at
     # least one device dispatch in flight (utils.devmeter interval
     # union) -- the measured form of "the chip idles while the host
-    # seeds" (VERDICT r4 weak item 2).
+    # seeds" (VERDICT r4 weak item 2). The column runs BENCH_COL_QUERIES
+    # (default 6) queries against the cached subject so the group
+    # pipelines actually overlap, as they do down a production column
+    # (a 3-query column is a single ANIb group = zero overlap).
     from pyani_plus_tpu.utils import devmeter
 
-    column = [(md5_q, md5_r), (md5_q2, md5_r), (md5_q3, md5_r)]
+    column = [(q, md5_r) for q in col_queries]
+    n_pairs = len(column)
     for method, key in (
         ("ANIm", "anim_column_pair_seconds"),
         ("dnadiff", "dnadiff_column_pair_seconds"),
@@ -257,8 +262,10 @@ def bench_alignment_methods(rng) -> dict:
             return dt
 
         med, lo, hi = _repeat(run_once)
-        out[key] = round(med / 3, 2)
-        out[key + "_spread"] = [round(lo / 3, 2), round(hi / 3, 2)]
+        out[key] = round(med / n_pairs, 2)
+        out[key + "_spread"] = [
+            round(lo / n_pairs, 2), round(hi / n_pairs, 2)
+        ]
         out[key.replace("_column_pair_seconds", "_device_busy_fraction")] = (
             round(sorted(busy)[len(busy) // 2], 3)
         )
@@ -413,13 +420,13 @@ def warm_only() -> None:
 
         t0 = time.time()
         from pyani_plus_tpu.methods.anib import DEVICE_BATCH
-        from pyani_plus_tpu.ops.dp_jax import PAD_CODE, batch_local_align_scores
+        from pyani_plus_tpu.ops.dp_jax import PAD_CODE, batch_local_align_best
 
         q = np.full((DEVICE_BATCH, 1024), PAD_CODE, np.uint8)
         s = np.full((DEVICE_BATCH, 2048), PAD_CODE, np.uint8)
         q[:, :512] = rng.integers(0, 4, (DEVICE_BATCH, 512), dtype=np.uint8)
         s[:, :512] = q[:, :512]
-        np.asarray(batch_local_align_scores(q, s))
+        np.asarray(batch_local_align_best(q, s))
         out["warm_anib_dp_seconds"] = round(time.time() - t0, 1)
     print(json.dumps(out))
 
