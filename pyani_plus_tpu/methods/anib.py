@@ -473,10 +473,14 @@ def _best_stats(
         return None
     if scores is not None and len(candidates) > 1:
         best_idx = max(range(len(candidates)), key=lambda i: scores[i])
-        if min_score is not None and scores[best_idx] < min_score:
-            return None  # fragment fails the E-value score gate
     else:
         best_idx = 0
+    if (
+        scores is not None
+        and min_score is not None
+        and scores[best_idx] < min_score
+    ):
+        return None  # fragment fails the E-value score gate
     strand_frag, window, w_lo = candidates[best_idx]
     trim = trims[best_idx] if trims is not None else None
     if trim is not None and trim[0] > 0:
@@ -548,15 +552,22 @@ def _pair_tasks(
     subject: Genome,
     seed_indexes: list[SeedIndex],
     fragsize: int,
+    *,
+    include_singles: bool | None = None,
 ):
     """Candidate enumeration stage: (frags, per_frag, flat, spans).
 
     ``flat`` is the (strand_frag, window) score-task list; ``spans``
     maps each fragment to its (start, count) slice of ``flat`` (None
-    when the fragment has <= 1 candidate and needs no score pass).
-    Separated from scoring so the column driver can pool tasks ACROSS
-    pairs into shared device batches.
+    when the fragment needs no score pass). With a device backend,
+    single-candidate fragments are ALSO scored (include_singles): their
+    winner is known without a score, but the device argmax supplies the
+    stats-DP trim and the E-value pre-gate, which are worth far more
+    than the amortised extra lane. On the host path scoring a single
+    candidate is pure waste, so they are skipped there.
     """
+    if include_singles is None:
+        include_singles = use_device()
     subject_records = [rec.codes for rec in subject.records]
     frags = fragment_genome(query, fragsize)
     per_frag = column_fragment_candidates(
@@ -564,8 +575,9 @@ def _pair_tasks(
     )
     flat: list[tuple[np.ndarray, np.ndarray]] = []
     spans = []  # (start, count) into flat per fragment, or None
+    min_cands = 1 if include_singles else 2
     for cands in per_frag:
-        if len(cands) > 1:
+        if len(cands) >= min_cands:
             spans.append((len(flat), len(cands)))
             flat.extend((f, w) for f, w, _lo in cands)
         else:
