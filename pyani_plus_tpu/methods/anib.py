@@ -171,17 +171,28 @@ def _record_strand_diags(
         for Mb-scale pairs and this join (plus its numpy temporaries)
         dominated the old per-pair profile.
         """
-        from pyani_plus_tpu.native import seed_join_diags_native
+        from pyani_plus_tpu.native import (
+            seed_join_diags_native,
+            seed_sort_rows_native,
+        )
 
         if values.size == 0:
             return {}
-        order = np.argsort(values, kind="stable")  # merge join wants sorted
+        # merge join wants the query side sorted by value: the native
+        # counting sort (11-mer values < 2^22) replaces the numpy
+        # argsort + three gathers and runs with the GIL released
+        v64 = np.ascontiguousarray(values, dtype=np.int64)
+        w64 = np.ascontiguousarray(within, dtype=np.int64)
+        f64 = np.ascontiguousarray(frag_id, dtype=np.int64)
+        if not seed_sort_rows_native(v64, w64, f64):  # pragma: no cover
+            order = np.argsort(values, kind="stable")
+            v64, w64, f64 = values[order], within[order], frag_id[order]
         native = seed_join_diags_native(
             index.values,
             index.positions,
-            values[order],
-            within[order],
-            frag_id[order],
+            v64,
+            w64,
+            f64,
             n_frags,
         )
         if native is None:  # pragma: no cover - no compiler

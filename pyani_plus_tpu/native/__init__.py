@@ -242,6 +242,8 @@ def _load_seedjoin():
             p64, p64, p64, ctypes.c_int64,
             ctypes.c_int64, p64, p64, ctypes.c_int64,
         ]
+        lib.seed_sort_rows.restype = None
+        lib.seed_sort_rows.argtypes = [p64, p64, p64, ctypes.c_int64]
         _seedjoin_lib = lib
     except Exception as exc:  # pragma: no cover - no compiler
         logging.getLogger(__package__).debug(
@@ -249,6 +251,29 @@ def _load_seedjoin():
         )
         _seedjoin_lib = None
     return _seedjoin_lib
+
+
+def seed_sort_rows_native(
+    q_vals: np.ndarray, q_within: np.ndarray, q_frag: np.ndarray
+) -> bool:
+    """Stable in-place sort of parallel int64 rows by ``q_vals``.
+
+    Two 11-bit counting passes for 2-bit-packed 11-mer values (< 2^22;
+    wider values fall back to a stable comparison sort), GIL released.
+    Returns False when the native library is unavailable (caller keeps
+    the numpy argsort path). All three arrays must be contiguous int64.
+    """
+    lib = _load_seedjoin()
+    if lib is None:
+        return False
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    lib.seed_sort_rows(
+        q_vals.ctypes.data_as(p64),
+        q_within.ctypes.data_as(p64),
+        q_frag.ctypes.data_as(p64),
+        q_vals.size,
+    )
+    return True
 
 
 def seed_join_diags_native(  # noqa: PLR0913

@@ -113,3 +113,49 @@ int64_t seed_join_diags_sorted(const int64_t *tv, const int64_t *tp, int64_t tn,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Stable in-place sort of parallel query rows (v, w, f) by v, used by
+// the ANIb candidate sweep before the merge join.  Seed values are
+// 2-bit-packed 11-mers (< 2^22), so two 11-bit counting passes beat a
+// comparison argsort several-fold and run with the GIL released; any
+// wider value falls back to a stable comparison sort on indices.
+void seed_sort_rows(int64_t *v, int64_t *w, int64_t *f, int64_t n) {
+  if (n <= 1) return;
+  bool small = true;
+  for (int64_t i = 0; i < n; i++)
+    if ((uint64_t)v[i] >= (1ull << 22)) { small = false; break; }
+  std::vector<int64_t> perm(n), tmp(n);
+  for (int64_t i = 0; i < n; i++) perm[i] = i;
+  if (small) {
+    constexpr int B = 11;
+    constexpr int64_t M = (1 << B) - 1;
+    int64_t hist[1 << B];
+    for (int shift = 0; shift <= B; shift += B) {
+      std::fill(hist, hist + (1 << B), 0);
+      for (int64_t i = 0; i < n; i++) hist[(v[perm[i]] >> shift) & M]++;
+      int64_t sum = 0;
+      for (int64_t b = 0; b < (1 << B); b++) {
+        const int64_t c = hist[b];
+        hist[b] = sum;
+        sum += c;
+      }
+      for (int64_t i = 0; i < n; i++)
+        tmp[hist[(v[perm[i]] >> shift) & M]++] = perm[i];
+      perm.swap(tmp);
+    }
+  } else {
+    std::stable_sort(perm.begin(), perm.end(),
+                     [&](int64_t a, int64_t b) { return v[a] < v[b]; });
+  }
+  // apply the permutation to all three arrays via one gather each
+  for (int64_t i = 0; i < n; i++) tmp[i] = v[perm[i]];
+  std::copy(tmp.begin(), tmp.end(), v);
+  for (int64_t i = 0; i < n; i++) tmp[i] = w[perm[i]];
+  std::copy(tmp.begin(), tmp.end(), w);
+  for (int64_t i = 0; i < n; i++) tmp[i] = f[perm[i]];
+  std::copy(tmp.begin(), tmp.end(), f);
+}
+
+}  // extern "C"
