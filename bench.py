@@ -202,7 +202,7 @@ def bench_alignment_methods(rng) -> dict:
     genomes = {md5_r: _genome_from_codes(base, md5_r)}
     col_queries = []
     for i in range(max(n_col, 3)):
-        name = chr(ord("e") + i) * 32 if i >= 2 else (md5_q, "c" * 32)[i]
+        name = f"q{i:02d}" * 8 if i >= 2 else (md5_q, "c" * 32)[i]
         genomes[name] = _genome_from_codes(mutate(base, 0.15, rng), name)
         col_queries.append(name)
     genomes[md5_q3] = _genome_from_codes(mutate(base, 0.15, rng), md5_q3)
