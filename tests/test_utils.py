@@ -65,3 +65,24 @@ def test_file_md5sum_missing(tmp_path: Path) -> None:
 
 def test_str_md5sum() -> None:
     assert str_md5sum("") == "d41d8cd98f00b204e9800998ecf8427e"
+
+
+def test_devmeter_busy_fraction_interval_union() -> None:
+    """devmeter reports the union of in-flight windows over the wall
+    window: overlapping dispatches don't double-count, and clipping at
+    the window edges is honoured."""
+    from pyani_plus_tpu.utils import devmeter
+
+    w0 = devmeter.reset()
+    # two overlapping intervals [w0+1, w0+3] and [w0+2, w0+4] -> union 3
+    devmeter.record(w0 + 1.0, w0 + 3.0)
+    devmeter.record(w0 + 2.0, w0 + 4.0)
+    # disjoint [w0+6, w0+7] -> +1
+    devmeter.record(w0 + 6.0, w0 + 7.0)
+    # outside the window entirely -> ignored
+    devmeter.record(w0 - 5.0, w0 - 4.0)
+    frac = devmeter.busy_fraction(w0, w0 + 8.0)
+    assert abs(frac - 4.0 / 8.0) < 1e-9, frac
+    # reset clears
+    w1 = devmeter.reset()
+    assert devmeter.busy_fraction(w1, w1 + 1.0) == 0.0
