@@ -342,6 +342,14 @@ DEVICE_BATCH = int(
     os.environ.get("PYANI_TPU_ANIB_BATCH", "1024")
 )  # candidate pairs per device call (fixed compile shape; 1024 measured
 # ~5% faster per pair than 512 on the axon tunnel -- fewer round trips)
+
+# Window-length buckets for the batched scorer: the scan cost is
+# proportional to the padded width, and ANIb windows cluster at
+# ~1.3x the fragment size (band + 2x150 margin) -- the x1.4 midpoints
+# cut ~30% of padding waste vs a pure power-of-two ladder. Each bucket
+# actually used costs one XLA compile per process.
+N_BUCKETS = (1024, 1408, 2048, 2816, 4096, 5632, 8192, 11264, 16384,
+             22528, 32768)
 MAX_DEVICE_WINDOW = 32768  # larger windows fall back to the host scorer
 
 _PALLAS_MODE: bool | None = None
@@ -388,10 +396,10 @@ def _score_device_submit(pairs: list[tuple[np.ndarray, np.ndarray]]):
     buckets: dict[int, list[int]] = {}
     host_idx = []
     for i, (_f, w) in enumerate(pairs):
-        n = 1024
-        while n < w.size:
-            n *= 2
-        if n > MAX_DEVICE_WINDOW:
+        for n in N_BUCKETS:
+            if w.size <= n:
+                break
+        if w.size > MAX_DEVICE_WINDOW:
             host_idx.append(i)
         else:
             buckets.setdefault(n, []).append(i)
