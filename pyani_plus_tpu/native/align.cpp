@@ -67,11 +67,18 @@ void release_oversized_planes() {
 // (j' in the low bits makes the later column win value ties exactly);
 // AVX-512 computes it as an in-register log-step inclusive scan, the
 // scalar recurrence is the fallback and the semantics oracle.
-void _e_chain_pass(const int32_t *__restrict__ g_row,
-                   int32_t *__restrict__ e_row, int32_t *__restrict__ eo_row,
-                   int64_t n, int32_t go_ge, int32_t ge, int32_t gap_open) {
+//
+// Templated on the value type: the int16 instantiation clamps outputs
+// at NEGV (-8000). The clamp is DECISION-neutral: g >= 0 always in
+// this DP, so h = max(g, e) >= 0 and the h == e case test can only
+// fire at e >= 0 -- any value below zero (clamped or not) never
+// changes a traceback decision; it only prevents int16 underflow.
+template <typename VT>
+void _e_chain_pass_t(const VT *__restrict__ g_row, VT *__restrict__ e_row,
+                     int32_t *__restrict__ eo_row, int64_t n, int32_t go_ge,
+                     int32_t ge, int32_t gap_open, VT negv) {
   if (n < 1) return;
-  e_row[1] = NEG;
+  e_row[1] = negv;
   eo_row[1] = 0;
 #if defined(__AVX512F__)
   if (n < ((int64_t)1 << KEY_SHIFT)) {
@@ -102,45 +109,59 @@ void _e_chain_pass(const int32_t *__restrict__ g_row,
     const int64_t mask = ((int64_t)1 << KEY_SHIFT) - 1;
     for (int64_t t = 2; t <= n; t++) {
       const int64_t p = key[t - 1];
-      e_row[t] =
-          (int32_t)(p >> KEY_SHIFT) - gap_open - (int32_t)((int64_t)ge * t);
+      const int64_t val =
+          (p >> KEY_SHIFT) - gap_open - (int64_t)ge * t;
+      e_row[t] = (VT)(val < (int64_t)negv ? (int64_t)negv : val);
       eo_row[t] = (int32_t)(p & mask);
     }
     return;
   }
 #endif
-  int32_t e_run = NEG;
+  VT e_run = negv;
   int32_t e_orig = 0;
   for (int64_t j = 1; j <= n; j++) {
     e_row[j] = e_run;
     eo_row[j] = e_orig;
-    const int32_t cand = g_row[j] - go_ge;
-    const int32_t decayed = e_run - ge;
+    const int32_t cand = (int32_t)g_row[j] - go_ge;
+    int32_t decayed = (int32_t)e_run - ge;
+    if (decayed < (int32_t)negv) decayed = negv;  // int16-safe decay
     const bool re = cand >= decayed;
-    e_run = re ? cand : decayed;
+    e_run = (VT)(re ? cand : decayed);
     e_orig = re ? (int32_t)j : e_orig;
   }
 }
-}  // namespace
 
-extern "C" {
+// Per-type scratch for the stats fill value rows.
+template <typename VT>
+struct VScratch {
+  std::vector<VT> h_prev, f_prev, g_row, d_row, e_row;
+};
+template <typename VT>
+VScratch<VT> &vscratch() {
+  static thread_local VScratch<VT> sc;
+  return sc;
+}
 
-// out[10]: score, length, matches, mismatches, gaps, gap_opens,
-//          query_start, query_end, subject_start, subject_end
-// returns 1 on success, 0 if no positive-scoring alignment.
-int local_align_stats(const uint8_t *q, int64_t m, const uint8_t *s,
-                      int64_t n, int reward, int penalty, int gap_open,
-                      int gap_extend, int64_t *out) {
-  if (m == 0 || n == 0) return 0;
+// Stats DP implementation, templated on the value type. The int16
+// instantiation halves the memory footprint of every vectorisable fill
+// pass (gcc goes 32-wide instead of 16-wide with AVX-512BW); scores
+// fit easily (<= 2*m <= 2^14 for ANIb fragments) and all clamps are
+// decision-neutral (see _e_chain_pass_t). Bit-identical outputs to the
+// int32 instantiation and the numpy oracle (fuzz-locked).
+template <typename VT>
+int local_align_stats_impl(const uint8_t *q, int64_t m, const uint8_t *s,
+                           int64_t n, int reward, int penalty, int gap_open,
+                           int gap_extend, VT negv, int64_t *out) {
   const int32_t go_ge = gap_open + gap_extend;
   const int32_t ge = gap_extend;
 
   Scratch &sc_ = scratch;
-  sc_.h_prev.assign(n + 1, 0);
-  sc_.f_prev.assign(n + 1, NEG);
-  sc_.g_row.resize(n + 1);
-  sc_.d_row.resize(n + 1);
-  sc_.e_row.resize(n + 1);
+  VScratch<VT> &vs = vscratch<VT>();
+  vs.h_prev.assign(n + 1, 0);
+  vs.f_prev.assign(n + 1, negv);
+  vs.g_row.resize(n + 1);
+  vs.d_row.resize(n + 1);
+  vs.e_row.resize(n + 1);
   sc_.eo_row.resize(n + 1);
   sc_.s32.resize(n);
   const int64_t stride = n + 1;
@@ -150,11 +171,11 @@ int local_align_stats(const uint8_t *q, int64_t m, const uint8_t *s,
   }
   sc_.forig.assign(n + 1, 0);
 
-  int32_t *__restrict__ h_prev = sc_.h_prev.data();
-  int32_t *__restrict__ f_prev = sc_.f_prev.data();
-  int32_t *__restrict__ g_row = sc_.g_row.data();
-  int32_t *__restrict__ d_row = sc_.d_row.data();
-  int32_t *__restrict__ e_row = sc_.e_row.data();
+  VT *__restrict__ h_prev = vs.h_prev.data();
+  VT *__restrict__ f_prev = vs.f_prev.data();
+  VT *__restrict__ g_row = vs.g_row.data();
+  VT *__restrict__ d_row = vs.d_row.data();
+  VT *__restrict__ e_row = vs.e_row.data();
   int32_t *__restrict__ eo_row = sc_.eo_row.data();
   int32_t *__restrict__ s32 = sc_.s32.data();
   uint8_t *__restrict__ cases = sc_.cases.data();
@@ -173,37 +194,34 @@ int local_align_stats(const uint8_t *q, int64_t m, const uint8_t *s,
     const int32_t iprev = (int32_t)(i - 1);
     // Pass 1 (vectorisable): everything that depends only on row i-1.
     // f_prev/forig update in place (read-then-write at the same j).
+    // h_prev >= 0 always, so f >= -go_ge after the first row; only the
+    // initial negv rows need the widening max to stay in range.
 #pragma GCC ivdep
     for (int64_t j = 1; j <= n; j++) {
-      const int32_t sub = (s32[j - 1] == qc) ? reward : penalty;
-      const int32_t diag = h_prev[j - 1] + sub;
-      const int32_t f_open = h_prev[j] - go_ge;
-      const int32_t f_ext = f_prev[j] - ge;
+      const VT sub = (VT)((s32[j - 1] == qc) ? reward : penalty);
+      const VT diag = (VT)(h_prev[j - 1] + sub);
+      const VT f_open = (VT)(h_prev[j] - go_ge);
+      VT f_ext = (VT)(f_prev[j] - ge);
+      if (f_ext < negv) f_ext = negv;  // int16-safe decay (decision-neutral)
       // shortest-gap rule: reopening (origin i-1) wins ties
-      const int32_t f = (f_open >= f_ext) ? f_open : f_ext;
+      const VT f = (f_open >= f_ext) ? f_open : f_ext;
       forig[j] = (f_open >= f_ext) ? iprev : forig[j];
       f_prev[j] = f;
-      int32_t g = diag > f ? diag : f;
+      VT g = diag > f ? diag : f;
       if (g < 0) g = 0;
       d_row[j] = diag;
       g_row[j] = g;
     }
-    // Pass 2: the within-row E chain with its origin; shortest-gap
-    // rule: reopening at this column wins running ties. The chain is a
-    // prefix max over keys (a[j'] << KEY_SHIFT) | j' with
-    // a[j'] = g[j'] + ge*j' (j' in the low bits makes larger-j' win
-    // exact-value ties automatically, which IS the shortest-gap rule),
-    // so it vectorises as an in-register AVX-512 log-step scan; the
-    // scalar recurrence is the fallback and the semantics oracle.
-    _e_chain_pass(g_row, e_row, eo_row, n, go_ge, ge, gap_open);
+    // Pass 2: the within-row E chain with its origin (see above).
+    _e_chain_pass_t<VT>(g_row, e_row, eo_row, n, go_ge, ge, gap_open, negv);
     // Pass 3 (vectorisable): H + traceback decisions, resolved now:
     // priority diag > E > F, stop at h <= 0 (matches the matrix-walk's
     // `while H > 0` + equality order in ops/dp.py local_align_stats).
 #pragma GCC ivdep
     for (int64_t j = 1; j <= n; j++) {
-      const int32_t g = g_row[j];
-      const int32_t e = e_row[j];
-      const int32_t h = g > e ? g : e;
+      const VT g = g_row[j];
+      const VT e = e_row[j];
+      const VT h = g > e ? g : e;
       h_prev[j] = h;
       const uint8_t c =
           (h <= 0) ? 0 : (h == d_row[j]) ? 1 : (h == e) ? 2 : 3;
@@ -212,10 +230,10 @@ int local_align_stats(const uint8_t *q, int64_t m, const uint8_t *s,
     }
     // First maximum in row-major order: row max (vectorisable), then
     // first index on strict improvement only.
-    int32_t row_best = 0;
+    VT row_best = 0;
     for (int64_t j = 1; j <= n; j++)
       row_best = h_prev[j] > row_best ? h_prev[j] : row_best;
-    if (row_best > best_score) {
+    if ((int32_t)row_best > best_score) {
       best_score = row_best;
       best_i = i;
       for (int64_t j = 1; j <= n; j++)
@@ -279,6 +297,30 @@ int local_align_stats(const uint8_t *q, int64_t m, const uint8_t *s,
   out[9] = best_j;
   release_oversized_planes();
   return 1;
+}
+}  // namespace
+
+extern "C" {
+
+// out[10]: score, length, matches, mismatches, gaps, gap_opens,
+//          query_start, query_end, subject_start, subject_end
+// returns 1 on success, 0 if no positive-scoring alignment.
+int local_align_stats(const uint8_t *q, int64_t m, const uint8_t *s,
+                      int64_t n, int reward, int penalty, int gap_open,
+                      int gap_extend, int64_t *out) {
+  if (m == 0 || n == 0) return 0;
+  // int16 fill when every value provably fits: |score| <= reward*m,
+  // and per-cell constants stay above the -8000 clamp.
+  const int64_t max_abs =
+      (int64_t)(reward > -penalty ? reward : -penalty) * (m + 2) +
+      gap_open + 4 * gap_extend;
+  if (max_abs < 7500 && n < (int64_t)1 << KEY_SHIFT) {
+    return local_align_stats_impl<int16_t>(q, m, s, n, reward, penalty,
+                                           gap_open, gap_extend,
+                                           (int16_t)-8000, out);
+  }
+  return local_align_stats_impl<int32_t>(q, m, s, n, reward, penalty,
+                                         gap_open, gap_extend, NEG, out);
 }
 
 // Score-only local alignment (rolling rows, no traceback storage).
