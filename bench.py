@@ -194,7 +194,7 @@ def bench_alignment_methods(rng) -> dict:
 
     # --- one divergent (~85% ANI) pair per alignment method
     alen = int(os.environ.get("BENCH_ALN_LEN", "400000"))
-    n_col = int(os.environ.get("BENCH_COL_QUERIES", "6"))
+    n_col = int(os.environ.get("BENCH_COL_QUERIES", "12"))
     base = rng.integers(0, 4, alen, dtype=np.uint8)
     md5_r = "b" * 32
     md5_q = "a" * 32
@@ -241,9 +241,10 @@ def bench_alignment_methods(rng) -> dict:
     # least one device dispatch in flight (utils.devmeter interval
     # union) -- the measured form of "the chip idles while the host
     # seeds" (VERDICT r4 weak item 2). The column runs BENCH_COL_QUERIES
-    # (default 6) queries against the cached subject so the group
-    # pipelines actually overlap, as they do down a production column
-    # (a 3-query column is a single ANIb group = zero overlap).
+    # (default 12) queries against the cached subject so the group
+    # pipelines reach steady state, as they do down a production column
+    # of ~N pairs (a 3-query column is one ANIb group = zero overlap
+    # and still pays the full pipeline fill/drain).
     from pyani_plus_tpu.utils import devmeter
 
     column = [(q, md5_r) for q in col_queries]

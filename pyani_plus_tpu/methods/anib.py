@@ -106,8 +106,15 @@ def fragment_genome(genome: Genome, fragsize: int) -> list[np.ndarray]:
     return fragments
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4096)
 def _min_score(qlen: int, subject_total: int, evalue: float = EVALUE) -> float:
-    """Karlin-Altschul score threshold for the E-value cutoff."""
+    """Karlin-Altschul score threshold for the E-value cutoff.
+
+    Memoised: per column only a handful of (qlen, subject_total) pairs
+    occur but the threshold is consulted per fragment."""
     search_space = max(qlen * subject_total, 1)
     return log(KA_K * search_space / evalue) / KA_LAMBDA
 
