@@ -187,7 +187,11 @@ def _record_strand_diags(
             return {}
         # merge join wants the query side sorted by value: the native
         # counting sort (11-mer values < 2^22) replaces the numpy
-        # argsort + three gathers and runs with the GIL released
+        # argsort + three gathers and runs with the GIL released. It
+        # sorts IN PLACE; the inputs here are always fresh copies (the
+        # callers build them with boolean indexing / arithmetic), so
+        # ascontiguousarray aliasing them is ownership transfer, not a
+        # caller-visible mutation.
         v64 = np.ascontiguousarray(values, dtype=np.int64)
         w64 = np.ascontiguousarray(within, dtype=np.int64)
         f64 = np.ascontiguousarray(frag_id, dtype=np.int64)

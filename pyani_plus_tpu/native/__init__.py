@@ -261,7 +261,10 @@ def seed_sort_rows_native(
     Two 11-bit counting passes for 2-bit-packed 11-mer values (< 2^22;
     wider values fall back to a stable comparison sort), GIL released.
     Returns False when the native library is unavailable (caller keeps
-    the numpy argsort path). All three arrays must be contiguous int64.
+    the numpy argsort path). All three arrays must be contiguous int64
+    AND owned by the caller: they are permuted IN PLACE (the anib call
+    site passes fresh boolean-index copies; do not pass arrays you need
+    in their original order afterwards).
     """
     lib = _load_seedjoin()
     if lib is None:

@@ -59,13 +59,21 @@ LANE = 128  # padded band width (TPU lane count)
 LB = int(_os.environ.get("PYANI_TPU_EXTEND_LB", "16"))
 # rows per inner fori_loop; early-exit checks at this grain. Must be a
 # multiple of 128 (Mosaic vector loads need provably 128-aligned lane
-# offsets; 64 fails to compile). 256 measured ~6% faster than 128 on
-# hardware (loop-boundary overhead beats the give-up overshoot).
-CHUNK = max(128, (int(_os.environ.get("PYANI_TPU_EXTEND_CHUNK", "256")) // 128) * 128)
+# offsets; 64 fails to compile) and must DIVIDE every M_COLS bucket so
+# each bucket stays reachable after the ceil-to-CHUNK rounding --
+# clamped to {128, 256}. 256 measured ~6% faster than 128 on hardware
+# (loop-boundary overhead beats the give-up overshoot).
+CHUNK = min(
+    256,
+    max(128, (int(_os.environ.get("PYANI_TPU_EXTEND_CHUNK", "256")) // 128) * 128),
+)
 # The ONLY device shapes ever compiled: each distinct (m_cols, b_cols) is
 # a separate Mosaic compile (minutes over the axon tunnel), so m_cols is
 # clamped to this fixed ladder; longer tasks fall back to the host kernel.
-M_COLS_BUCKETS = (1280, 3456, 10240)
+# Every bucket is a multiple of 256 so selection is CHUNK-independent
+# (3456 was not: ceil(3400/256)*256 = 3584 skipped it, leaving the
+# middle bucket cold after the warm pass and a mid-run compile behind).
+M_COLS_BUCKETS = (1280, 3584, 10240)
 
 
 def _shift_from_left(x, s, fill, lane_ids):
@@ -129,7 +137,9 @@ def _make_kernel(stop_rows: int):
         # counter; the global winner is extracted once after the loop.
         # Keys are non-negative for every recordable cell (negative
         # scores can never beat the initial best of 0), so -1 = none.
-        # No overflow: cs <= 2*10240 -> cs*32768 < 2^30; 2i+k < 32768.
+        # No overflow: cs <= MATCH * m_cols_max = 3*10240 = 30720, so
+        # cs*32768 + (2i+k) <= ~1.007e9 < 2^31 (2.1x headroom; revisit
+        # if a bucket above ~21k rows or a larger MATCH is ever added).
         key0 = jnp.where(cs0 >= 0, cs0 * 32768 + offs, -1)
         colkey = key0
         coli = zeros

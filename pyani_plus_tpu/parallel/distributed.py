@@ -283,10 +283,18 @@ def launch_local(
             if p.poll() is None:
                 p.kill()
         worst = 124
+    # Reap every child (killed ones included -- without this wait their
+    # returncode stays None, which both leaks zombies and skipped the
+    # log dump for exactly the hang/timeout case it exists for).
+    for p in procs:
+        try:
+            p.wait(timeout=10)
+        except subprocess.TimeoutExpired:  # pragma: no cover - kill raced
+            pass
     for pid, (p, log) in enumerate(zip(procs, logs)):
         if log is None:
             continue
-        if worst != 0 and p.returncode not in (0, None):
+        if worst != 0 and p.returncode != 0:
             log.seek(0)
             tail = log.read()[-8192:]
             if tail:

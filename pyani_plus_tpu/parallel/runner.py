@@ -79,9 +79,18 @@ def start_and_run_method(  # noqa: PLR0913
         log_sys_exit(logger, str(exc))
         raise  # pragma: no cover - log_sys_exit raises SystemExit
     try:
-        run = _setup_run(
-            logger, db, fasta, config, hash_to_filename, name, cmdline, method_name
-        )
+        # _setup_run loads every genome (the remaining ingest-error
+        # surface: empty/gzip-mismatched FASTA); resume_run is NOT
+        # wrapped -- a ValueError from inside method compute is a bug
+        # and must keep its traceback, not masquerade as input error.
+        try:
+            run = _setup_run(
+                logger, db, fasta, config, hash_to_filename, name,
+                cmdline, method_name
+            )
+        except ValueError as exc:
+            log_sys_exit(logger, str(exc))
+            raise  # pragma: no cover - log_sys_exit raises SystemExit
         return resume_run(
             logger,
             db,
@@ -90,9 +99,6 @@ def start_and_run_method(  # noqa: PLR0913
             cache=cache,
             extra_files=extra_files,
         )
-    except ValueError as exc:
-        log_sys_exit(logger, str(exc))
-        raise  # pragma: no cover - log_sys_exit raises SystemExit
     finally:
         db.close()
 

@@ -18,9 +18,14 @@ from __future__ import annotations
 
 import threading
 import time
+from collections import deque
 
 _LOCK = threading.Lock()
-_INTERVALS: list[tuple[float, float]] = []
+# Bounded: record() runs on every production dispatch but only bench
+# windows ever read the buffer -- without a cap a multi-day all-vs-all
+# run would grow it without limit. 65536 intervals cover any bench
+# window by orders of magnitude; older entries simply fall off.
+_INTERVALS: deque[tuple[float, float]] = deque(maxlen=65536)
 
 
 def reset() -> float:
