@@ -28,6 +28,24 @@ def _logger(log: Path | None, *, debug: bool) -> logging.Logger:
         terminal_level=logging.DEBUG if debug else logging.INFO,
     )
 
+def _parse_formats(logger, formats: str) -> tuple[str, ...]:
+    """Validated --formats tuple; clean exit on unsupported entries.
+
+    Mirrors the reference's enum-validated format list (GRAPHICS_FORMATS,
+    __init__.py:49) instead of letting matplotlib raise a traceback."""
+    from pyani_plus_tpu import GRAPHICS_FORMATS, log_sys_exit
+
+    parts = tuple(p.strip() for p in formats.split(",") if p.strip())
+    bad = [p for p in parts if p not in GRAPHICS_FORMATS]
+    if bad or not parts:
+        log_sys_exit(
+            logger,
+            f"Unsupported plot format(s) {', '.join(bad) or '(none given)'}"
+            f" -- supported: {', '.join(GRAPHICS_FORMATS)}",
+        )
+    return parts
+
+
 def _load_run_checked(logger, db, run_id, **checks):
     """load_run with user-facing error reporting (CRITICAL + exit), so an
     unknown --run-id or incomplete run prints cleanly instead of a
@@ -687,7 +705,7 @@ def classify_cmd(  # noqa: PLR0913
             cov_agg=coverage_edges,
             vertical_line=vertical_line,
             plot=not no_plot,
-            formats=tuple(formats.split(",")),
+            formats=_parse_formats(logger, formats),
         )
     click.echo(f"Wrote classify output to {outdir}")
 
@@ -740,7 +758,7 @@ def plot_run_cmd(  # noqa: PLR0913
             logger, db, run_id, check_complete=True, check_empty=True
         )
         plot_single_run(
-            logger, run, outdir, label=label, formats=tuple(formats.split(","))
+            logger, run, outdir, label=label, formats=_parse_formats(logger, formats)
         )
     click.echo(f"Wrote plots to {outdir}")
 
@@ -783,7 +801,7 @@ def plot_run_comp_cmd(  # noqa: PLR0913
     ids = [int(x) for x in run_ids.split(",")]
     with Database(database, logger=logger) as db:
         plot_run_comparison(
-            logger, db, outdir, ids, formats=tuple(formats.split(","))
+            logger, db, outdir, ids, formats=_parse_formats(logger, formats)
         )
     click.echo(f"Wrote comparison plots to {outdir}")
 

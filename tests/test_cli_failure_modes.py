@@ -274,3 +274,56 @@ def test_plot_run_comp_failures(runner, tmp_path) -> None:
     )
     assert result.exit_code != 0
     assert "run-id" in result.output or "contains no runs" in result.output
+
+
+def test_plot_run_invalid_format_errors(runner, null_run_db, tmp_path) -> None:
+    """--formats entries are validated against GRAPHICS_FORMATS at the
+    CLI (clean CRITICAL + exit, not a matplotlib traceback)."""
+    out = tmp_path / "plots"
+    result = runner.invoke(
+        app,
+        ["plot-run", "-d", str(null_run_db), "-o", str(out),
+         "--formats", "png,bogus"],
+    )
+    assert result.exit_code != 0
+    assert "Unsupported plot format" in result.output
+    assert "bogus" in result.output
+
+
+def test_delete_run_by_id_keeps_other_runs(runner, tiny_dir, tmp_path) -> None:
+    """delete-run --run-id removes one run; the other survives with its
+    cached matrices (comparisons are content-addressed and shared)."""
+    db_path = tmp_path / "two.db"
+    for _ in range(2):
+        result = runner.invoke(
+            app,
+            ["sourmash", str(tiny_dir), "-d", str(db_path), "--create-db",
+             "--cache", str(tmp_path)],
+            catch_exceptions=False,
+        )
+        assert result.exit_code == 0, result.output
+    result = runner.invoke(
+        app, ["delete-run", "-d", str(db_path), "--run-id", "1", "--force"]
+    )
+    assert result.exit_code == 0, result.output
+    result = runner.invoke(app, ["list-runs", "-d", str(db_path)])
+    assert result.exit_code == 0
+    assert "sourm" in result.output  # rich may ellipsise the column
+    out = tmp_path / "export2"
+    result = runner.invoke(
+        app, ["export-run", "-d", str(db_path), "-o", str(out), "--run-id", "2"]
+    )
+    assert result.exit_code == 0, result.output
+    assert (out / "sourmash_identity.tsv").is_file()
+
+
+def test_classify_tani_mode_with_nulls(runner, null_run_db, tmp_path) -> None:
+    """classify --mode tANI on a run with NULL cross comparisons: NaN
+    propagates through -ln(hadamard) and the nulls stay edge-less."""
+    out = tmp_path / "cls_tani"
+    result = runner.invoke(
+        app,
+        ["classify", "-d", str(null_run_db), "-o", str(out), "--mode", "tANI"],
+    )
+    assert result.exit_code == 0, result.output
+    assert (out / "ANIm_classify.tsv").is_file()
